@@ -1,0 +1,137 @@
+"""ctypes loader for the native refpack index-construction library.
+
+Builds ``librefpack.so`` on demand (g++ is in the base image; no network or
+pip is needed).  Falls back to the numpy implementation in
+:mod:`hsa_tpu.fmcore` when the toolchain is unavailable, so the pure-Python
+path always works — the native path is the production one for large genomes
+(linear-time SA-IS; the numpy prefix-doubling builder is O(n log^2 n)).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "librefpack.so")
+_lib = None
+_build_failed = False
+
+
+def _load():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                           capture_output=True, timeout=300)
+        except Exception:
+            _build_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        _build_failed = True
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rp_version.restype = ctypes.c_int
+    lib.rp_suffix_array64.argtypes = [u8p, ctypes.c_int64, i64p]
+    lib.rp_suffix_array64.restype = ctypes.c_int
+    lib.rp_bwt_from_sa.argtypes = [u8p, i64p, ctypes.c_int64, u8p, i64p]
+    lib.rp_bwt_from_sa.restype = ctypes.c_int
+    lib.rp_build.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                             i64p, u8p, i64p, u8p, i64p, i64p]
+    lib.rp_build.restype = ctypes.c_int
+    lib.rp_pack_2bit.argtypes = [u8p, ctypes.c_int64, u8p]
+    lib.rp_pack_2bit.restype = ctypes.c_int
+    lib.rp_unpack_2bit.argtypes = [u8p, ctypes.c_int64, u8p]
+    lib.rp_unpack_2bit.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def suffix_array(text: np.ndarray) -> np.ndarray:
+    """SA of text+$ — native SA-IS if available, else numpy prefix doubling."""
+    lib = _load()
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    if lib is None:
+        from ..fmcore import suffix_array as np_sa
+        return np_sa(t.astype(np.int8))
+    sa = np.empty(len(t) + 1, dtype=np.int64)
+    rc = lib.rp_suffix_array64(_u8(t), len(t), _i64(sa))
+    if rc != 0:
+        raise RuntimeError(f"rp_suffix_array64 failed: {rc}")
+    return sa
+
+
+def build(text: np.ndarray, sa_intv: int = 32, want_sa: bool = False):
+    """Fused native build: (sa|None, bwt, primary, marks, samples).
+
+    ``marks`` is uint8[n+1] over ranks (SA[r] % sa_intv == 0), ``samples``
+    the marked SA values in rank order — the text-position-sampled locate
+    structure of hsa_tpu.fmcore.
+    """
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    n = len(t)
+    lib = _load()
+    if lib is None:
+        from ..fmcore import FMIndex
+        fm = FMIndex.build(t.astype(np.int8), sa_intv=sa_intv)
+        return (fm.sa if want_sa else None, fm.bwt.astype(np.uint8), fm.primary,
+                fm.marks.astype(np.uint8), fm.samples.astype(np.int64))
+    sa = np.empty(n + 1, dtype=np.int64) if want_sa else None
+    bwt = np.empty(n, dtype=np.uint8)
+    primary = np.empty(1, dtype=np.int64)
+    marks = np.empty(n + 1, dtype=np.uint8)
+    samples = np.empty(n // sa_intv + 2, dtype=np.int64)
+    n_samples = np.empty(1, dtype=np.int64)
+    rc = lib.rp_build(_u8(t), n, sa_intv,
+                      _i64(sa) if sa is not None else None,
+                      _u8(bwt), _i64(primary), _u8(marks), _i64(samples),
+                      _i64(n_samples))
+    if rc != 0:
+        raise RuntimeError(f"rp_build failed: {rc}")
+    return sa, bwt, int(primary[0]), marks, samples[:int(n_samples[0])].copy()
+
+
+def pack_2bit(codes: np.ndarray) -> np.ndarray:
+    t = np.ascontiguousarray(codes, dtype=np.uint8)
+    out = np.empty((len(t) + 3) // 4, dtype=np.uint8)
+    lib = _load()
+    if lib is None:
+        padded = np.zeros(out.size * 4, dtype=np.uint8)
+        padded[:len(t)] = t & 3
+        q = padded.reshape(-1, 4)
+        out[:] = q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6)
+        return out
+    lib.rp_pack_2bit(_u8(t), len(t), _u8(out))
+    return out
+
+
+def unpack_2bit(packed: np.ndarray, n: int) -> np.ndarray:
+    p = np.ascontiguousarray(packed, dtype=np.uint8)
+    out = np.empty(n, dtype=np.uint8)
+    lib = _load()
+    if lib is None:
+        bits = np.stack([(p & 3), (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3], axis=1)
+        out[:] = bits.reshape(-1)[:n]
+        return out
+    lib.rp_unpack_2bit(_u8(p), n, _u8(out))
+    return out
