@@ -1,0 +1,81 @@
+"""Batched exact-match backward search (BASELINE config 1).
+
+The device analog of the reference's ``bwt_match_exact`` (lineage:
+``bwt.c``), restated as a fixed-trip-count ``lax.scan``: all reads in the
+batch advance their SA interval one base per step, in lockstep, with masks
+for finished/dead lanes (SURVEY.md §7.2.3).
+
+Input layout: reads are *reversed* into processing order (backward search
+consumes the read 3'->5') and padded with PAD=5 to a static length.
+Code 4 (N) kills the lane (N never matches); PAD lanes carry state through.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import fm
+
+U32 = jnp.uint32
+PAD = 5
+
+
+def pack_reads(reads, max_len: int):
+    """Host-side: list of int8 code arrays -> (reads_rev uint8[B,max_len], lens int32[B]).
+
+    Each row is the read reversed (processing order), padded with PAD.
+    """
+    import numpy as np
+    B = len(reads)
+    out = np.full((B, max_len), PAD, dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    for i, r in enumerate(reads):
+        L = min(len(r), max_len)
+        out[i, :L] = np.asarray(r, dtype=np.uint8)[::-1][:L]
+        lens[i] = L
+    return out, lens
+
+
+def exact_search(idx, reads_rev, lens):
+    """(k, l, matched): SA intervals of each full read; matched=False if absent.
+
+    reads_rev: uint8/int32 [B, Lmax] in processing order, PAD-padded.
+    """
+    B = reads_rev.shape[0]
+    k0 = jnp.zeros(B, dtype=U32)
+    l0 = jnp.full(B, idx.n, dtype=U32)
+    alive0 = lens > 0
+
+    def step(carry, col):
+        k, l, alive = carry
+        is_pad = col >= PAD
+        is_n = col == 4
+        k2, l2 = fm.extend(idx, col.astype(U32), k, l)
+        ok = (k2 <= l2) & ~is_n
+        upd = alive & ~is_pad
+        k = jnp.where(upd, k2, k)
+        l = jnp.where(upd, l2, l)
+        alive = alive & (is_pad | ok)
+        return (k, l, alive), None
+
+    (k, l, alive), _ = lax.scan(step, (k0, l0, alive0), reads_rev.T.astype(jnp.int32))
+    return k, l, alive & (k <= l)
+
+
+def locate_all(idx, k, l, matched, cap: int):
+    """Positions of up to ``cap`` occurrences per read: (pos uint32[B,cap], cnt int32[B]).
+
+    Occurrences beyond ``cap`` are dropped (cnt still reports the true total).
+    Unmatched lanes report cnt=0.
+    """
+    cnt_full = jnp.where(matched, (l - k + U32(1)).astype(jnp.int32), 0)
+    take = jnp.minimum(cnt_full, cap)
+    offs = jnp.arange(cap, dtype=U32)[None, :]
+    ranks = k[:, None] + offs
+    valid = offs < take[:, None].astype(U32)
+    ranks_flat = jnp.where(valid, ranks, U32(0)).reshape(-1)
+    pos = fm.locate(idx, ranks_flat).reshape(ranks.shape)
+    pos = jnp.where(valid, pos, U32(0xFFFFFFFF))
+    return pos, cnt_full

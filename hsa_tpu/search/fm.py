@@ -1,0 +1,155 @@
+"""Batched FM-index primitives over the blocked occ layout (jnp).
+
+These are the device analogs of the reference's ``bwt.c`` rank/locate
+primitives (``bwt_occ4``/``bwt_2occ4``/``bwt_sa``), restated over
+``hsa_tpu.index.layout``'s blocked rows and batched over query vectors.
+This jnp path is the semantics reference for the Pallas kernels in
+``hsa_tpu.kernels`` and is itself jit-compatible (XLA row gathers).
+
+Rank convention: the primitive is ``occ_lt(a, p)`` = number of ``a`` among
+bwt_full rows ``[0, p)`` excluding the primary row, for p in [0, n+1].
+Backward extension of [k, l] with base a::
+
+    k' = C[a] + occ_lt(a, k)
+    l' = C[a] + occ_lt(a, l + 1) - 1
+
+All ranks are uint32 (genome bound 4.3 Gbp, SURVEY.md §7.2).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+U32 = jnp.uint32
+_PAT55 = jnp.uint32(0x55555555)
+
+
+def _stored_prefix(primary, p):
+    """# stored-BWT rows among full rows [0, p): drop the primary row."""
+    p = p.astype(U32)
+    return jnp.where(p <= primary, p, p - U32(1))
+
+
+def _row_split(occ_blocks, p_st):
+    """Gather occ rows for stored prefix lengths: (cnt[B,4], words[B,8], off[B])."""
+    b = (p_st >> U32(7)).astype(jnp.int32)
+    off = (p_st & U32(127)).astype(jnp.int32)
+    rows = jnp.take(occ_blocks, b, axis=0)  # [B,16]
+    return rows[:, 0:4], rows[:, 4:12], off
+
+
+def _inblock_valid_mask(off):
+    """[B,8] uint32 mask selecting the first ``off`` symbols of a block."""
+    widx = jnp.arange(8, dtype=jnp.int32)
+    v = jnp.clip(off[:, None] - 16 * widx[None, :], 0, 16)  # valid syms per word
+    shift = (U32(2) * (U32(16) - jnp.maximum(v, 1).astype(U32)))
+    return jnp.where(v > 0, _PAT55 >> shift, U32(0))
+
+
+def _match_bits(words, a):
+    """Bit 2j set iff symbol j of the word equals base a (a broadcastable)."""
+    x = words ^ (a.astype(U32) * _PAT55)
+    return (~x) & ((~x) >> U32(1)) & _PAT55
+
+
+def occ_lt4(idx, p):
+    """[B,4] counts of each base among bwt_full rows [0, p). p: uint32[B]."""
+    cnt, words, off = _row_split(idx.occ_blocks, _stored_prefix(idx.primary, p))
+    vmask = _inblock_valid_mask(off)
+    outs = []
+    for a in range(4):
+        y = _match_bits(words, jnp.uint32(a)) & vmask
+        outs.append(cnt[:, a] + lax.population_count(y).sum(axis=1, dtype=U32))
+    return jnp.stack(outs, axis=1)
+
+
+def occ_lt(idx, a, p, *, rev: bool = False):
+    """[B] count of base a[B] among bwt_full rows [0, p). a must be 0..3."""
+    blocks = idx.rev_occ_blocks if rev else idx.occ_blocks
+    primary = idx.rev_primary if rev else idx.primary
+    cnt, words, off = _row_split(blocks, _stored_prefix(primary, p))
+    vmask = _inblock_valid_mask(off)
+    y = _match_bits(words, a[:, None]) & vmask
+    inb = lax.population_count(y).sum(axis=1, dtype=U32)
+    return jnp.take_along_axis(cnt, a[:, None].astype(jnp.int32), axis=1)[:, 0] + inb
+
+
+def extend(idx, a, k, l, *, rev: bool = False):
+    """Left-extend [k,l] with base a (uint32 vectors). Empty iff k' > l'.
+
+    Callers must mask lanes where a > 3 themselves (N never matches).
+    """
+    a = jnp.minimum(a, 3).astype(U32)
+    Ca = jnp.take(idx.C, a.astype(jnp.int32))
+    k2 = Ca + occ_lt(idx, a, k, rev=rev)
+    l2 = Ca + occ_lt(idx, a, l + U32(1), rev=rev) - U32(1)
+    return k2, l2
+
+
+def extend4(idx, k, l):
+    """All-bases extension: ([B,4] k', [B,4] l') — the ``bwt_2occ4`` analog."""
+    o_k = occ_lt4(idx, k)
+    o_l = occ_lt4(idx, l + U32(1))
+    C4 = idx.C[None, 0:4]
+    return C4 + o_k, C4 + o_l - U32(1)
+
+
+def bwt_char(idx, r):
+    """bwt_full symbol at rank r (garbage at r == primary; mask there)."""
+    j = jnp.where(r < idx.primary, r, r - U32(1))
+    b = (j >> U32(7)).astype(jnp.int32)
+    off = (j & U32(127)).astype(jnp.int32)
+    rows = jnp.take(idx.occ_blocks, b, axis=0)
+    word = jnp.take_along_axis(rows, (4 + (off >> 4))[:, None], axis=1)[:, 0]
+    return (word >> (U32(2) * (off & 15).astype(U32))) & U32(3)
+
+
+def lf(idx, r):
+    """LF mapping; LF(primary) = 0."""
+    c = bwt_char(idx, r)
+    res = jnp.take(idx.C, c.astype(jnp.int32)) + occ_lt(idx, c, r + U32(1)) - U32(1)
+    return jnp.where(r == idx.primary, U32(0), res)
+
+
+def _mark_info(idx, r):
+    """(is_marked[B] bool, mark_rank[B] uint32) for ranks r."""
+    b = (r >> U32(7)).astype(jnp.int32)
+    off = (r & U32(127)).astype(jnp.int32)
+    rows = jnp.take(idx.mark_blocks, b, axis=0)  # [B,8]
+    cnt = rows[:, 0]
+    bits = rows[:, 1:5]  # [B,4] words of 32 ranks
+    w = jnp.take_along_axis(bits, (off >> 5)[:, None], axis=1)[:, 0]
+    bit = (w >> (off & 31).astype(U32)) & U32(1)
+    # rank of marks below r inside the block
+    wi = jnp.arange(4, dtype=jnp.int32)
+    v = jnp.clip(off[:, None] - 32 * wi[None, :], 0, 32)
+    full = v >= 32
+    shift = (U32(32) - jnp.clip(v, 1, 31).astype(U32))
+    wmask = jnp.where(full, U32(0xFFFFFFFF),
+                      jnp.where(v > 0, U32(0xFFFFFFFF) >> shift, U32(0)))
+    below = lax.population_count(bits & wmask).sum(axis=1, dtype=U32)
+    return bit == 1, cnt + below
+
+
+def locate(idx, r):
+    """Text positions of ranks r[B] via the bounded LF-walk (<= sa_intv-1 steps)."""
+    B = r.shape[0]
+    pos = jnp.zeros(B, dtype=U32)
+    steps = jnp.zeros(B, dtype=U32)
+    done = jnp.zeros(B, dtype=bool)
+
+    def body(i, carry):
+        r, steps, pos, done = carry
+        m, mrank = _mark_info(idx, r)
+        newly = m & ~done
+        pos = jnp.where(newly, jnp.take(idx.samples, mrank.astype(jnp.int32)) + steps, pos)
+        done = done | m
+        r_next = lf(idx, r)
+        r = jnp.where(done, r, r_next)
+        steps = jnp.where(done, steps, steps + U32(1))
+        return (r, steps, pos, done)
+
+    r, steps, pos, done = lax.fori_loop(0, idx.sa_intv, body, (r, steps, pos, done))
+    return pos
