@@ -1,0 +1,235 @@
+"""Command-line interface mirroring the reference UX (lineage: ``main.c``).
+
+Subcommands: ``index``, ``aln``, ``samse``, ``align`` (fused aln+samse).
+The ``aln`` -> ``.sai.npz`` -> ``samse`` split mirrors the reference's
+two-phase resumable design (SURVEY.md §5 checkpoint/resume row).
+
+Usage:
+    python -m hsa_tpu.cli index ref.fa [-p prefix] [-s sa_intv]
+    python -m hsa_tpu.cli aln prefix reads.fq -f out.sai.npz [search opts]
+    python -m hsa_tpu.cli samse prefix out.sai.npz reads.fq [-f out.sam]
+    python -m hsa_tpu.cli align prefix reads.fq [-f out.sam] [search opts]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from . import alphabet
+from .config import AlnOpt, SamseOpt
+
+
+def _add_search_opts(p):
+    p.add_argument("-n", dest="n", default=None,
+                   help="max #diff (int) or missing-prob (float, default 0.04)")
+    p.add_argument("-o", dest="max_gapo", type=int, default=1, help="max gap opens")
+    p.add_argument("-e", dest="max_gape", type=int, default=6, help="max gap extensions")
+    p.add_argument("-l", dest="seed_len", type=int, default=32, help="seed length")
+    p.add_argument("-k", dest="max_seed_diff", type=int, default=2, help="max seed diffs")
+    p.add_argument("-M", dest="s_mm", type=int, default=3, help="mismatch penalty")
+    p.add_argument("-O", dest="s_gapo", type=int, default=11, help="gap open penalty")
+    p.add_argument("-E", dest="s_gape", type=int, default=4, help="gap extension penalty")
+    p.add_argument("-W", dest="beam_width", type=int, default=None,
+                   help="beam width (frontier capacity per read)")
+    p.add_argument("--batch", type=int, default=2048, help="reads per device batch")
+
+
+def _opt_from_args(a) -> AlnOpt:
+    opt = AlnOpt(max_gapo=a.max_gapo, max_gape=a.max_gape, seed_len=a.seed_len,
+                 max_seed_diff=a.max_seed_diff, s_mm=a.s_mm, s_gapo=a.s_gapo,
+                 s_gape=a.s_gape)
+    if a.n is not None:
+        try:
+            opt.max_diff = int(a.n)
+        except ValueError:
+            opt.max_diff = -1
+            opt.fnr = float(a.n)
+    return opt
+
+
+def _load_reads(path, limit=None):
+    from .io.fastx import read_fastq, read_fasta
+    names, reads, quals = [], [], []
+    it = read_fastq(path) if any(path.endswith(s) for s in
+                                 (".fq", ".fastq", ".fq.gz", ".fastq.gz")) else None
+    if it is not None:
+        for name, seq, qual in it:
+            names.append(name); reads.append(alphabet.encode(seq)); quals.append(qual)
+            if limit and len(reads) >= limit:
+                break
+    else:
+        for name, seq in read_fasta(path):
+            names.append(name); reads.append(alphabet.encode(seq)); quals.append("*")
+            if limit and len(reads) >= limit:
+                break
+    return names, reads, quals
+
+
+def cmd_index(argv):
+    p = argparse.ArgumentParser(prog="hsa-tpu index")
+    p.add_argument("fasta")
+    p.add_argument("-p", "--prefix", default=None)
+    p.add_argument("-s", "--sa-intv", type=int, default=32)
+    a = p.parse_args(argv)
+    from .pipeline import build_index
+    out = build_index(a.fasta, a.prefix or a.fasta, sa_intv=a.sa_intv)
+    print(f"[hsa-tpu] index written to {out}", file=sys.stderr)
+
+
+def _iter_batches(names, reads, quals, batch):
+    for s in range(0, len(reads), batch):
+        yield s, names[s:s + batch], reads[s:s + batch], quals[s:s + batch]
+
+
+def cmd_aln(argv):
+    p = argparse.ArgumentParser(prog="hsa-tpu aln")
+    p.add_argument("prefix")
+    p.add_argument("reads")
+    p.add_argument("-f", "--out", required=True, help="output .sai.npz")
+    _add_search_opts(p)
+    a = p.parse_args(argv)
+    from .pipeline import Aligner
+    al = Aligner(a.prefix, _opt_from_args(a))
+    names, reads, quals = _load_reads(a.reads)
+    flat = dict(score=[], nmm=[], ngapo=[], ngape=[], k=[], l=[])
+    counts_f, counts_r = [], []
+    for s, bn, br, bq in _iter_batches(names, reads, quals, a.batch):
+        hf, hr = al.search_batch(br, beam_width=a.beam_width)
+        for hits_side, counts in ((hf, counts_f), (hr, counts_r)):
+            for hits in hits_side:
+                counts.append(len(hits))
+                for h in hits:
+                    flat["score"].append(h.score); flat["nmm"].append(h.nmm)
+                    flat["ngapo"].append(h.ngapo); flat["ngape"].append(h.ngape)
+                    flat["k"].append(h.k); flat["l"].append(h.l)
+        print(f"[hsa-tpu aln] {s + len(br)}/{len(reads)} reads", file=sys.stderr)
+    np.savez_compressed(a.out, counts_f=np.asarray(counts_f, np.int32),
+                        counts_r=np.asarray(counts_r, np.int32),
+                        batch=np.int64(a.batch),
+                        **{k: np.asarray(v, np.int64) for k, v in flat.items()})
+
+
+def _sai_to_hits(path, n_reads):
+    from .oracle.bnb import Hit
+    z = np.load(path)
+    cf, cr = z["counts_f"], z["counts_r"]
+    assert len(cf) == n_reads, "read file does not match .sai"
+    fields = [z[k] for k in ("score", "nmm", "ngapo", "ngape", "k", "l")]
+    # counts are interleaved per batch (all fwd of batch, then all rc); the
+    # flat arrays were appended fwd-then-rc per batch too, so reconstruct in
+    # the same order
+    hits_f = [[] for _ in range(n_reads)]
+    hits_r = [[] for _ in range(n_reads)]
+    # aln wrote counts in batch order: counts_f and counts_r are global in
+    # read order; the flat stream order is (batch0 fwd reads, batch0 rc
+    # reads, batch1 fwd, ...) — recover via stored batch size
+    bsz = int(z["batch"]) if "batch" in z else None
+    idx = 0
+    if bsz is None:
+        # single stream: fwd for all reads then rc — legacy fallback
+        order = [(0, j) for j in range(n_reads)] + [(1, j) for j in range(n_reads)]
+    else:
+        order = []
+        for s in range(0, n_reads, bsz):
+            e = min(s + bsz, n_reads)
+            order += [(0, j) for j in range(s, e)]
+            order += [(1, j) for j in range(s, e)]
+    for side, j in order:
+        c = int((cf if side == 0 else cr)[j])
+        for _ in range(c):
+            h = Hit(int(fields[0][idx]), int(fields[1][idx]), int(fields[2][idx]),
+                    int(fields[3][idx]), int(fields[4][idx]), int(fields[5][idx]))
+            (hits_f if side == 0 else hits_r)[j].append(h)
+            idx += 1
+    return hits_f, hits_r
+
+
+def cmd_samse(argv):
+    p = argparse.ArgumentParser(prog="hsa-tpu samse")
+    p.add_argument("prefix")
+    p.add_argument("sai")
+    p.add_argument("reads")
+    p.add_argument("-f", "--out", default=None)
+    p.add_argument("-n", dest="n_multi", type=int, default=3)
+    a = p.parse_args(argv)
+    from .pipeline import Aligner
+    from .io.sam import write_sam
+    from .resolve.samse import resolve_batch_se
+    al = Aligner(a.prefix)
+    names, reads, quals = _load_reads(a.reads)
+    hf, hr = _sai_to_hits(a.sai, len(reads))
+    recs = resolve_batch_se(al.text, al.meta, reads, names, quals, hf, hr,
+                            al.locate_fn, al.opt, SamseOpt(n_multi=a.n_multi))
+    out = open(a.out, "w") if a.out else sys.stdout
+    write_sam(out, al.meta, recs, "samse")
+    if a.out:
+        out.close()
+
+
+def cmd_align(argv):
+    p = argparse.ArgumentParser(prog="hsa-tpu align")
+    p.add_argument("prefix")
+    p.add_argument("reads")
+    p.add_argument("-f", "--out", default=None)
+    p.add_argument("--n-multi", type=int, default=3)
+    _add_search_opts(p)
+    a = p.parse_args(argv)
+    from .pipeline import Aligner
+    from .io.sam import sam_header
+    al = Aligner(a.prefix, _opt_from_args(a))
+    names, reads, quals = _load_reads(a.reads)
+    out = open(a.out, "w") if a.out else sys.stdout
+    out.write(sam_header(al.meta, "align"))
+    for s, bn, br, bq in _iter_batches(names, reads, quals, a.batch):
+        recs = al.align(br, bn, bq, read_offset=s, beam_width=a.beam_width,
+                        sopt=SamseOpt(n_multi=a.n_multi))
+        for r in recs:
+            out.write(r.to_sam() + "\n")
+        print(f"[hsa-tpu align] {s + len(br)}/{len(reads)} reads", file=sys.stderr)
+    if a.out:
+        out.close()
+
+
+COMMANDS = {"index": cmd_index, "aln": cmd_aln, "samse": cmd_samse, "align": cmd_align}
+
+
+def _configure_jax(argv):
+    """Apply --platform/HSA_PLATFORM and enable the persistent compile cache.
+
+    Must run before any jax computation.  Needed because the axon
+    sitecustomize force-selects the TPU backend regardless of JAX_PLATFORMS
+    (see tests/conftest.py); ``--platform cpu`` restores CPU execution.
+    """
+    import os
+    platform = os.environ.get("HSA_PLATFORM")
+    if "--platform" in argv:
+        i = argv.index("--platform")
+        platform = argv[i + 1]
+        del argv[i:i + 2]
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    cache = os.environ.get("HSA_COMPILE_CACHE",
+                           os.path.expanduser("~/.cache/hsa_tpu_xla"))
+    if cache and cache != "0":
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return argv
+
+
+def main(argv=None):
+    argv = list(argv) if argv is not None else sys.argv[1:]
+    if not argv or argv[0] not in COMMANDS:
+        print(f"usage: hsa-tpu {{{'|'.join(COMMANDS)}}} ...", file=sys.stderr)
+        return 1
+    argv = _configure_jax(argv)
+    COMMANDS[argv[0]](argv[1:])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,107 @@
+"""End-to-end single-host alignment pipeline: index artifacts + batch driver.
+
+The TPU analog of the reference's ``bwa_aln_core`` / ``bwa_sai2sam_se_core``
+batch loops (lineage: ``bwtaln.c``, ``bwase.c``): host streams read batches,
+device runs both-strand beam search + locate, host resolves records.
+
+Index artifact directory layout (``<prefix>.hsa/``):
+  index.npz   — DeviceIndex arrays (blocked occ/mark tables, samples, C)
+  meta.json   — RefMeta (names/starts/lengths/amb) + build parameters
+  text.pac    — 2-bit packed concatenated genome (+ length), for CIGAR/MD
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from . import alphabet, refpack
+from .config import AlnOpt, SamseOpt
+from .index.layout import DeviceIndex, build_device_index
+from .io.fastx import RefMeta, load_reference
+from .resolve.samse import resolve_batch_se
+
+
+def build_index(fasta_path: str, prefix: str, sa_intv: int = 32) -> str:
+    """``hsa-tpu index``: FASTA -> artifact dir. Returns the dir path."""
+    text, meta = load_reference(fasta_path)
+    di = build_device_index(text, sa_intv=sa_intv, with_reverse=True)
+    outdir = prefix + ".hsa"
+    os.makedirs(outdir, exist_ok=True)
+    di.save(os.path.join(outdir, "index.npz"))
+    with open(os.path.join(outdir, "meta.json"), "w") as fh:
+        json.dump(dict(ref=meta.to_dict(), sa_intv=sa_intv, version=1), fh)
+    packed = refpack.pack_2bit(text.astype(np.uint8))
+    with open(os.path.join(outdir, "text.pac"), "wb") as fh:
+        fh.write(np.int64(len(text)).tobytes())
+        fh.write(packed.tobytes())
+    return outdir
+
+
+class Aligner:
+    """Loads index artifacts and aligns read batches."""
+
+    def __init__(self, index_dir: str, opt: AlnOpt | None = None):
+        if not os.path.isdir(index_dir) and os.path.isdir(index_dir + ".hsa"):
+            index_dir = index_dir + ".hsa"
+        self.opt = opt or AlnOpt()
+        self.di = DeviceIndex.load(os.path.join(index_dir, "index.npz"))
+        with open(os.path.join(index_dir, "meta.json")) as fh:
+            m = json.load(fh)
+        self.meta = RefMeta.from_dict(m["ref"])
+        with open(os.path.join(index_dir, "text.pac"), "rb") as fh:
+            n = np.frombuffer(fh.read(8), np.int64)[0]
+            packed = np.frombuffer(fh.read(), np.uint8)
+        self.text = refpack.unpack_2bit(packed, int(n)).astype(np.int8)
+        self.dev = self.di.as_jax()
+
+    # -- search ------------------------------------------------------------
+    def search_batch(self, reads, beam_width=None, max_hits=32):
+        """Both-strand beam search: returns (hits_fwd, hits_rc) per read."""
+        from .search.beam import align_batch
+        rc = [alphabet.revcomp(r) for r in reads]
+        hits_all, res = align_batch(self.dev, list(reads) + rc, self.opt,
+                                    beam_width=beam_width, max_hits=max_hits)
+        B = len(reads)
+        self.last_overflow = (np.asarray(res.n_live_dropped),
+                              np.asarray(res.n_hits_dropped))
+        return hits_all[:B], hits_all[B:]
+
+    def locate_fn(self, ranks: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+        from .search import fm
+        return np.asarray(fm.locate(self.dev, jnp.asarray(ranks, jnp.uint32)))
+
+    # -- full pipeline -----------------------------------------------------
+    def align(self, reads, names=None, quals=None, *, read_offset: int = 0,
+              beam_width=None, max_hits=32, sopt: SamseOpt | None = None):
+        """reads: list of int8 code arrays -> list of AlnRecord."""
+        names = names or [f"read{read_offset + i}" for i in range(len(reads))]
+        hf, hr = self.search_batch(reads, beam_width=beam_width, max_hits=max_hits)
+        return resolve_batch_se(self.text, self.meta, reads, names, quals,
+                                hf, hr, self.locate_fn, self.opt, sopt,
+                                read_offset=read_offset)
+
+
+def oracle_align(text, meta, reads, names, quals, opt, sopt=None, read_offset=0):
+    """Reference-path alignment: oracle search + the same resolution layer.
+
+    Ground truth for end-to-end record parity tests (SURVEY.md §4.1).
+    """
+    from .fmcore import FMIndex
+    from .oracle.bnb import align_read
+
+    fm_f = FMIndex.build(np.asarray(text, np.int8))
+    fm_r = FMIndex.build(np.asarray(text, np.int8)[::-1].copy())
+    hf, hr = [], []
+    for r in reads:
+        hf.append(align_read(fm_f, fm_r, np.asarray(r, np.int8), opt))
+        hr.append(align_read(fm_f, fm_r, alphabet.revcomp(np.asarray(r, np.int8)), opt))
+
+    def locate_fn(ranks):
+        return np.array([fm_f.locate(int(r)) for r in ranks], dtype=np.int64)
+
+    return resolve_batch_se(text, meta, reads, names, quals, hf, hr,
+                            locate_fn, opt, sopt, read_offset=read_offset)
