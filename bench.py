@@ -1,0 +1,125 @@
+"""Headline benchmark: reads/s/chip, k=2 mismatches, 100bp reads.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Configuration mirrors the BASELINE north-star metric ("reads/s/chip at k=2
+mismatches on human ref").  The environment has no network, so the genome
+is synthetic i.i.d. random sequence (size below); random sequence has no
+repeat structure, which makes it slightly *harder* than real genome for the
+occ-gather path (no cache reuse) and slightly easier for the beam (fewer
+multi-hits) — treated as a stand-in until a real reference is mountable.
+
+``vs_baseline``: BASELINE.json carries no published numbers (empty mount —
+see BASELINE.md); the denominator is the documented stand-in constant
+BASELINE_READS_PER_S = 2000 (single-threaded CPU lineage-class throughput
+estimate for this config), so the ratio tracks round-over-round progress
+against a fixed yardstick.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+GENOME_MBP = int(os.environ.get("HSA_BENCH_GENOME_MBP", "64"))
+BATCH = int(os.environ.get("HSA_BENCH_BATCH", "8192"))
+READ_LEN = 100
+BEAM_W = int(os.environ.get("HSA_BENCH_BEAM_W", "64"))
+MAX_HITS = 16
+ITERS = int(os.environ.get("HSA_BENCH_ITERS", "4"))
+BASELINE_READS_PER_S = 2000.0
+CACHE = os.path.expanduser("~/.cache/hsa_tpu_bench")
+
+
+def get_index():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from hsa_tpu.index.layout import DeviceIndex, build_device_index
+
+    os.makedirs(CACHE, exist_ok=True)
+    idx_path = os.path.join(CACHE, f"idx_{GENOME_MBP}M.npz")
+    txt_path = os.path.join(CACHE, f"txt_{GENOME_MBP}M.npy")
+    if os.path.exists(idx_path) and os.path.exists(txt_path):
+        return DeviceIndex.load(idx_path), np.load(txt_path, mmap_mode="r")
+    n = GENOME_MBP * 1_000_000
+    t = np.random.RandomState(7).randint(0, 4, n).astype(np.int8)
+    di = build_device_index(t, sa_intv=32, with_reverse=True)
+    di.save(idx_path)
+    np.save(txt_path, t)
+    return di, t
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs(os.path.join(CACHE, "xla"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE, "xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from hsa_tpu.config import AlnOpt
+    from hsa_tpu.search.beam import beam_search
+    from hsa_tpu.search.widths import cal_width_device
+    from hsa_tpu.search import fm
+
+    t0 = time.time()
+    di, text = get_index()
+    dev = di.as_jax()
+    build_s = time.time() - t0
+
+    rs = np.random.RandomState(1)
+    n = di.n
+    fwd = np.empty((BATCH, READ_LEN), np.uint8)
+    for j in range(BATCH):
+        p = rs.randint(0, n - READ_LEN)
+        r = np.asarray(text[p:p + READ_LEN]).copy()
+        for _ in range(2):  # k=2 planted mismatches
+            q = rs.randint(0, READ_LEN)
+            r[q] = (r[q] + rs.randint(1, 4)) % 4
+        fwd[j] = r
+    lens = np.full(BATCH, READ_LEN, np.int32)
+    opt = AlnOpt(max_diff=2)
+    md = jnp.full(BATCH, 2, jnp.int32)
+    fwd_j, lens_j = jnp.asarray(fwd), jnp.asarray(lens)
+
+    @jax.jit
+    def aln_step(reads_fwd, lens, max_diff):
+        D = cal_width_device(dev, reads_fwd, lens)
+        res = beam_search(dev, reads_fwd, lens, D, max_diff, opt,
+                          beam_width=BEAM_W, max_hits=MAX_HITS)
+        ranks = jnp.where(res.hit_valid[:, 0], res.hit_k[:, 0], 0).astype(jnp.uint32)
+        pos = fm.locate(dev, ranks)
+        return res.best_score, pos, res.hit_valid.any(axis=1)
+
+    t0 = time.time()
+    out = aln_step(fwd_j, lens_j, md)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        out = aln_step(fwd_j, lens_j, md)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / ITERS
+    reads_per_s = BATCH / dt
+
+    mapped = float(np.asarray(out[2]).mean())
+    print(json.dumps({
+        "metric": "reads_per_s_per_chip_k2_100bp",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+        "genome_mbp": GENOME_MBP,
+        "batch": BATCH,
+        "beam_width": BEAM_W,
+        "mapped_frac": round(mapped, 4),
+        "batch_ms": round(dt * 1e3, 1),
+        "compile_s": round(compile_s, 1),
+        "index_load_s": round(build_s, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

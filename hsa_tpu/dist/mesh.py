@@ -1,0 +1,171 @@
+"""Index sharding over a device mesh (BASELINE configs 4-5).
+
+Mesh axes:
+  ``data``  — reads are data-parallel (each data-slice owns a batch shard)
+  ``shard`` — the occ/mark/sample tables of large references are sharded by
+              block rows; small genomes replicate (n_shards=1)
+
+Inside ``shard_map`` every FM primitive uses the masked-gather + psum merge
+implemented in :mod:`hsa_tpu.search.fm` (the per-query form of the north
+star's all-gather interval merge).  Communication rides the mesh's fastest
+axis: place ``shard`` on ICI when the mesh spans hosts.
+
+Multi-host: call :func:`init_multihost` (a ``jax.distributed.initialize``
+wrapper) before building the mesh; the same code then runs with global
+arrays sharded across processes.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..index.layout import DeviceIndex
+from ..search.beam import beam_search, BeamResult
+from ..search import fm as _fm
+from ..search.exact import exact_search
+
+
+def make_mesh(n_data: int, n_shard: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_data * n_shard, \
+        f"need {n_data * n_shard} devices, have {len(devices)}"
+    arr = np.asarray(devices[:n_data * n_shard]).reshape(n_data, n_shard)
+    return Mesh(arr, ("data", "shard"))
+
+
+def init_multihost(coordinator: str | None = None, num_processes: int | None = None,
+                   process_id: int | None = None):
+    """``jax.distributed.initialize`` wrapper (DCN bootstrap for N>=2 hosts)."""
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes, process_id=process_id)
+
+
+def _pad_rows(a: np.ndarray, mult: int) -> np.ndarray:
+    r = (-a.shape[0]) % mult
+    if r == 0:
+        return a
+    pad = np.zeros((r,) + a.shape[1:], dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+class ShardedIndex:
+    """Places a DeviceIndex's tables across the mesh's ``shard`` axis."""
+
+    def __init__(self, di: DeviceIndex, mesh: Mesh):
+        self.mesh = mesh
+        self.n_shard = mesh.shape["shard"]
+        self.meta = dict(n=np.uint32(di.n), primary=np.uint32(di.primary),
+                         sa_intv=int(di.sa_intv),
+                         rev_primary=np.uint32(di.rev_primary & 0xFFFFFFFF))
+        ns = self.n_shard
+        occ = _pad_rows(di.occ_blocks, ns)
+        mark = _pad_rows(di.mark_blocks, ns)
+        samples = _pad_rows(di.samples, ns)
+        self.occ_rows = occ.shape[0] // ns
+        self.mark_rows = mark.shape[0] // ns
+        self.n_samples = samples.shape[0] // ns
+        sh2 = NamedSharding(mesh, P("shard", None))
+        sh1 = NamedSharding(mesh, P("shard"))
+        rep = NamedSharding(mesh, P())
+        self.occ_blocks = jax.device_put(occ, sh2)
+        self.mark_blocks = jax.device_put(mark, sh2)
+        self.samples = jax.device_put(samples, sh1)
+        self.C = jax.device_put(di.C, rep)
+        if di.rev_occ_blocks is not None:
+            rocc = _pad_rows(di.rev_occ_blocks, ns)
+            self.rev_occ_blocks = jax.device_put(rocc, sh2)
+        else:
+            self.rev_occ_blocks = None
+
+    def _index_args(self):
+        args = [self.occ_blocks, self.mark_blocks, self.samples, self.C]
+        specs = [P("shard", None), P("shard", None), P("shard"), P()]
+        if self.rev_occ_blocks is not None:
+            args.append(self.rev_occ_blocks)
+            specs.append(P("shard", None))
+        return args, specs
+
+    def _local_idx(self, occ, mark, samples, C, rev_occ=None):
+        s = lax.axis_index("shard").astype(jnp.int32)
+        return SimpleNamespace(
+            n=self.meta["n"], primary=self.meta["primary"],
+            sa_intv=self.meta["sa_intv"], C=C,
+            occ_blocks=occ, mark_blocks=mark, samples=samples,
+            rev_occ_blocks=rev_occ, rev_primary=self.meta["rev_primary"],
+            shard_axis="shard",
+            row_offset=s * self.occ_rows,
+            rev_row_offset=s * self.occ_rows,
+            mark_row_offset=s * self.mark_rows,
+            sample_offset=s * self.n_samples)
+
+    # -- jitted entry points ------------------------------------------------
+    def exact_fn(self):
+        """jit fn(reads_rev [B,L], lens [B]) -> (k, l, matched), data-sharded."""
+        iargs, ispecs = self._index_args()
+
+        def core(reads_rev, lens, *idx_arrays):
+            idx = self._local_idx(*idx_arrays)
+            return exact_search(idx, reads_rev, lens)
+
+        f = jax.shard_map(core, mesh=self.mesh,
+                          in_specs=(P("data", None), P("data"), *ispecs),
+                          out_specs=(P("data"), P("data"), P("data")),
+                          check_vma=False)
+        jf = jax.jit(f)
+        return lambda reads_rev, lens: jf(reads_rev, lens, *iargs)
+
+    def beam_fn(self, opt, beam_width=None, max_hits=32):
+        """jit fn(reads_fwd, lens, D, max_diff) -> BeamResult, data-sharded."""
+        iargs, ispecs = self._index_args()
+
+        def core(reads_fwd, lens, D, max_diff, *idx_arrays):
+            idx = self._local_idx(*idx_arrays)
+            return beam_search(idx, reads_fwd, lens, D, max_diff, opt,
+                               beam_width=beam_width, max_hits=max_hits)
+
+        f = jax.shard_map(core, mesh=self.mesh,
+                          in_specs=(P("data", None), P("data"), P("data", None),
+                                    P("data"), *ispecs),
+                          out_specs=jax.tree.map(lambda _: P("data"),
+                                                 BeamResult(*[0] * 10)),
+                          check_vma=False)
+        jf = jax.jit(f)
+        return lambda reads_fwd, lens, D, max_diff: jf(reads_fwd, lens, D,
+                                                       max_diff, *iargs)
+
+    def width_fn(self):
+        """jit fn(reads_fwd, lens) -> D, data-sharded (needs reverse table)."""
+        assert self.rev_occ_blocks is not None
+        iargs, ispecs = self._index_args()
+        from ..search.widths import cal_width_device
+
+        def core(reads_fwd, lens, *idx_arrays):
+            idx = self._local_idx(*idx_arrays)
+            return cal_width_device(idx, reads_fwd, lens)
+
+        f = jax.shard_map(core, mesh=self.mesh,
+                          in_specs=(P("data", None), P("data"), *ispecs),
+                          out_specs=P("data", None), check_vma=False)
+        jf = jax.jit(f)
+        return lambda reads_fwd, lens: jf(reads_fwd, lens, *iargs)
+
+    def locate_fn(self):
+        """jit fn(ranks uint32[R]) -> positions uint32[R], data-sharded."""
+        iargs, ispecs = self._index_args()
+
+        def core(ranks, *idx_arrays):
+            idx = self._local_idx(*idx_arrays)
+            return _fm.locate(idx, ranks)
+
+        f = jax.shard_map(core, mesh=self.mesh,
+                          in_specs=(P("data"), *ispecs),
+                          out_specs=P("data"), check_vma=False)
+        jf = jax.jit(f)
+        return lambda ranks: jf(ranks, *iargs)

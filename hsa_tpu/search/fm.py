@@ -14,6 +14,15 @@ Backward extension of [k, l] with base a::
     l' = C[a] + occ_lt(a, l + 1) - 1
 
 All ranks are uint32 (genome bound 4.3 Gbp, SURVEY.md §7.2).
+
+Index sharding (BASELINE configs 4-5): when the ``idx`` namespace carries a
+``shard_axis`` name (set inside ``shard_map`` by ``hsa_tpu.dist``), the
+occ/mark/sample arrays are *local row ranges* of the global tables and
+every primitive follows the masked-gather + ``psum`` pattern: the owning
+shard contributes the real value, all others contribute zero, and a psum
+over the shard axis merges — the "all-gather interval merge" of the north
+star, expressed per-query.  The same code runs unsharded when
+``shard_axis`` is None.
 """
 
 from __future__ import annotations
@@ -32,12 +41,37 @@ def _stored_prefix(primary, p):
     return jnp.where(p <= primary, p, p - U32(1))
 
 
-def _row_split(occ_blocks, p_st):
-    """Gather occ rows for stored prefix lengths: (cnt[B,4], words[B,8], off[B])."""
+def _gather_rows(idx, blocks, b_global, offset_attr):
+    """Row gather by global block id.
+
+    On sharded indexes returns (rows, own) where ``own`` marks lanes whose
+    block this shard owns; non-owned rows are zeroed AND the caller must
+    additionally gate derived counts with ``own`` before the psum merge —
+    zeroed 2-bit words would otherwise decode as runs of base A.
+    Unsharded: own is None.
+    """
+    ax = getattr(idx, "shard_axis", None)
+    b_global = b_global.astype(jnp.int32)
+    if ax is None:
+        return jnp.take(blocks, b_global, axis=0), None
+    off = getattr(idx, offset_attr)
+    local = b_global - off
+    own = (local >= 0) & (local < blocks.shape[0])
+    rows = jnp.take(blocks, jnp.clip(local, 0, blocks.shape[0] - 1), axis=0)
+    return rows * own[:, None].astype(rows.dtype), own
+
+
+def _psum(idx, x):
+    ax = getattr(idx, "shard_axis", None)
+    return lax.psum(x, ax) if ax is not None else x
+
+
+def _row_split(idx, blocks, p_st, offset_attr):
+    """(cnt[B,4], words[B,8], off[B], own[B]|None) for stored prefix lengths."""
     b = (p_st >> U32(7)).astype(jnp.int32)
     off = (p_st & U32(127)).astype(jnp.int32)
-    rows = jnp.take(occ_blocks, b, axis=0)  # [B,16]
-    return rows[:, 0:4], rows[:, 4:12], off
+    rows, own = _gather_rows(idx, blocks, b, offset_attr)
+    return rows[:, 0:4], rows[:, 4:12], off, own
 
 
 def _inblock_valid_mask(off):
@@ -56,24 +90,33 @@ def _match_bits(words, a):
 
 def occ_lt4(idx, p):
     """[B,4] counts of each base among bwt_full rows [0, p). p: uint32[B]."""
-    cnt, words, off = _row_split(idx.occ_blocks, _stored_prefix(idx.primary, p))
+    cnt, words, off, own = _row_split(idx, idx.occ_blocks,
+                                      _stored_prefix(idx.primary, p), "row_offset")
     vmask = _inblock_valid_mask(off)
     outs = []
     for a in range(4):
         y = _match_bits(words, jnp.uint32(a)) & vmask
         outs.append(cnt[:, a] + lax.population_count(y).sum(axis=1, dtype=U32))
-    return jnp.stack(outs, axis=1)
+    res = jnp.stack(outs, axis=1)
+    if own is not None:
+        res = res * own[:, None].astype(res.dtype)
+    return _psum(idx, res)
 
 
 def occ_lt(idx, a, p, *, rev: bool = False):
     """[B] count of base a[B] among bwt_full rows [0, p). a must be 0..3."""
     blocks = idx.rev_occ_blocks if rev else idx.occ_blocks
     primary = idx.rev_primary if rev else idx.primary
-    cnt, words, off = _row_split(blocks, _stored_prefix(primary, p))
+    offset_attr = "rev_row_offset" if rev else "row_offset"
+    cnt, words, off, own = _row_split(idx, blocks, _stored_prefix(primary, p),
+                                      offset_attr)
     vmask = _inblock_valid_mask(off)
     y = _match_bits(words, a[:, None]) & vmask
     inb = lax.population_count(y).sum(axis=1, dtype=U32)
-    return jnp.take_along_axis(cnt, a[:, None].astype(jnp.int32), axis=1)[:, 0] + inb
+    res = jnp.take_along_axis(cnt, a[:, None].astype(jnp.int32), axis=1)[:, 0] + inb
+    if own is not None:
+        res = res * own.astype(res.dtype)
+    return _psum(idx, res)
 
 
 def extend(idx, a, k, l, *, rev: bool = False):
@@ -101,9 +144,10 @@ def bwt_char(idx, r):
     j = jnp.where(r < idx.primary, r, r - U32(1))
     b = (j >> U32(7)).astype(jnp.int32)
     off = (j & U32(127)).astype(jnp.int32)
-    rows = jnp.take(idx.occ_blocks, b, axis=0)
+    rows, _ = _gather_rows(idx, idx.occ_blocks, b, "row_offset")
     word = jnp.take_along_axis(rows, (4 + (off >> 4))[:, None], axis=1)[:, 0]
-    return (word >> (U32(2) * (off & 15).astype(U32))) & U32(3)
+    # non-owned rows are zero -> contribute 0; psum recovers the owner's value
+    return _psum(idx, (word >> (U32(2) * (off & 15).astype(U32))) & U32(3))
 
 
 def lf(idx, r):
@@ -117,7 +161,7 @@ def _mark_info(idx, r):
     """(is_marked[B] bool, mark_rank[B] uint32) for ranks r."""
     b = (r >> U32(7)).astype(jnp.int32)
     off = (r & U32(127)).astype(jnp.int32)
-    rows = jnp.take(idx.mark_blocks, b, axis=0)  # [B,8]
+    rows, _ = _gather_rows(idx, idx.mark_blocks, b, "mark_row_offset")
     cnt = rows[:, 0]
     bits = rows[:, 1:5]  # [B,4] words of 32 ranks
     w = jnp.take_along_axis(bits, (off >> 5)[:, None], axis=1)[:, 0]
@@ -130,7 +174,19 @@ def _mark_info(idx, r):
     wmask = jnp.where(full, U32(0xFFFFFFFF),
                       jnp.where(v > 0, U32(0xFFFFFFFF) >> shift, U32(0)))
     below = lax.population_count(bits & wmask).sum(axis=1, dtype=U32)
-    return bit == 1, cnt + below
+    return _psum(idx, bit) == 1, _psum(idx, cnt + below)
+
+
+def _sample_lookup(idx, mrank):
+    ax = getattr(idx, "shard_axis", None)
+    mrank = mrank.astype(jnp.int32)
+    if ax is None:
+        return jnp.take(idx.samples, mrank)
+    off = idx.sample_offset
+    local = mrank - off
+    own = (local >= 0) & (local < idx.samples.shape[0])
+    val = jnp.take(idx.samples, jnp.clip(local, 0, idx.samples.shape[0] - 1))
+    return lax.psum(val * own.astype(val.dtype), ax)
 
 
 def locate(idx, r):
@@ -144,7 +200,7 @@ def locate(idx, r):
         r, steps, pos, done = carry
         m, mrank = _mark_info(idx, r)
         newly = m & ~done
-        pos = jnp.where(newly, jnp.take(idx.samples, mrank.astype(jnp.int32)) + steps, pos)
+        pos = jnp.where(newly, _sample_lookup(idx, mrank) + steps, pos)
         done = done | m
         r_next = lf(idx, r)
         r = jnp.where(done, r, r_next)
