@@ -193,7 +193,69 @@ def cmd_align(argv):
         out.close()
 
 
-COMMANDS = {"index": cmd_index, "aln": cmd_aln, "samse": cmd_samse, "align": cmd_align}
+def cmd_sampe(argv):
+    p = argparse.ArgumentParser(prog="hsa-tpu sampe")
+    p.add_argument("prefix")
+    p.add_argument("sai1")
+    p.add_argument("sai2")
+    p.add_argument("reads1")
+    p.add_argument("reads2")
+    p.add_argument("-f", "--out", default=None)
+    p.add_argument("-a", dest="max_isize", type=int, default=500)
+    p.add_argument("-n", dest="n_multi", type=int, default=3)
+    a = p.parse_args(argv)
+    from .pipeline import Aligner
+    from .io.sam import write_sam
+    from .config import PEOpt
+    from .resolve.sampe import resolve_batch_pe
+    al = Aligner(a.prefix)
+    names1, reads1, quals1 = _load_reads(a.reads1)
+    names2, reads2, quals2 = _load_reads(a.reads2)
+    assert len(reads1) == len(reads2), "mate files differ in read count"
+    h1 = _sai_to_hits(a.sai1, len(reads1))
+    h2 = _sai_to_hits(a.sai2, len(reads2))
+    recs = resolve_batch_pe(al.text, al.meta, reads1, reads2, names1,
+                            quals1, quals2, h1, h2, al.locate_fn, al.opt,
+                            PEOpt(max_isize=a.max_isize, n_multi=a.n_multi))
+    out = open(a.out, "w") if a.out else sys.stdout
+    write_sam(out, al.meta, recs, "sampe")
+    if a.out:
+        out.close()
+
+
+def cmd_align_pe(argv):
+    p = argparse.ArgumentParser(prog="hsa-tpu align-pe")
+    p.add_argument("prefix")
+    p.add_argument("reads1")
+    p.add_argument("reads2")
+    p.add_argument("-f", "--out", default=None)
+    p.add_argument("-a", dest="max_isize", type=int, default=500)
+    _add_search_opts(p)
+    a = p.parse_args(argv)
+    from .pipeline import Aligner
+    from .io.sam import sam_header
+    from .config import PEOpt
+    al = Aligner(a.prefix, _opt_from_args(a))
+    names1, reads1, quals1 = _load_reads(a.reads1)
+    names2, reads2, quals2 = _load_reads(a.reads2)
+    assert len(reads1) == len(reads2), "mate files differ in read count"
+    out = open(a.out, "w") if a.out else sys.stdout
+    out.write(sam_header(al.meta, "align-pe"))
+    peopt = PEOpt(max_isize=a.max_isize)
+    for s in range(0, len(reads1), a.batch):
+        e = min(s + a.batch, len(reads1))
+        recs = al.align_pe(reads1[s:e], reads2[s:e], names1[s:e],
+                           quals1[s:e], quals2[s:e], read_offset=s,
+                           beam_width=a.beam_width, peopt=peopt)
+        for r in recs:
+            out.write(r.to_sam() + "\n")
+        print(f"[hsa-tpu align-pe] {e}/{len(reads1)} pairs", file=sys.stderr)
+    if a.out:
+        out.close()
+
+
+COMMANDS = {"index": cmd_index, "aln": cmd_aln, "samse": cmd_samse,
+            "sampe": cmd_sampe, "align": cmd_align, "align-pe": cmd_align_pe}
 
 
 def _configure_jax(argv):

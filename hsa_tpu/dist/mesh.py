@@ -75,30 +75,38 @@ class ShardedIndex:
         sh1 = NamedSharding(mesh, P("shard"))
         rep = NamedSharding(mesh, P())
         self.occ_blocks = jax.device_put(occ, sh2)
+        # superblock tables are tiny (16 B / 32 Ksym) — replicated
+        self.occ_super = jax.device_put(di.occ_super, rep)
         self.mark_blocks = jax.device_put(mark, sh2)
         self.samples = jax.device_put(samples, sh1)
         self.C = jax.device_put(di.C, rep)
         if di.rev_occ_blocks is not None:
             rocc = _pad_rows(di.rev_occ_blocks, ns)
             self.rev_occ_blocks = jax.device_put(rocc, sh2)
+            self.rev_occ_super = jax.device_put(di.rev_occ_super, rep)
         else:
             self.rev_occ_blocks = None
+            self.rev_occ_super = None
 
     def _index_args(self):
-        args = [self.occ_blocks, self.mark_blocks, self.samples, self.C]
-        specs = [P("shard", None), P("shard", None), P("shard"), P()]
+        args = [self.occ_blocks, self.occ_super, self.mark_blocks,
+                self.samples, self.C]
+        specs = [P("shard", None), P(), P("shard", None), P("shard"), P()]
         if self.rev_occ_blocks is not None:
-            args.append(self.rev_occ_blocks)
-            specs.append(P("shard", None))
+            args += [self.rev_occ_blocks, self.rev_occ_super]
+            specs += [P("shard", None), P()]
         return args, specs
 
-    def _local_idx(self, occ, mark, samples, C, rev_occ=None):
+    def _local_idx(self, occ, occ_super, mark, samples, C,
+                   rev_occ=None, rev_occ_super=None):
         s = lax.axis_index("shard").astype(jnp.int32)
         return SimpleNamespace(
             n=self.meta["n"], primary=self.meta["primary"],
             sa_intv=self.meta["sa_intv"], C=C,
-            occ_blocks=occ, mark_blocks=mark, samples=samples,
-            rev_occ_blocks=rev_occ, rev_primary=self.meta["rev_primary"],
+            occ_blocks=occ, occ_super=occ_super,
+            mark_blocks=mark, samples=samples,
+            rev_occ_blocks=rev_occ, rev_occ_super=rev_occ_super,
+            rev_primary=self.meta["rev_primary"],
             shard_axis="shard",
             row_offset=s * self.occ_rows,
             rev_row_offset=s * self.occ_rows,

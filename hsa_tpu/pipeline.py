@@ -84,6 +84,22 @@ class Aligner:
                                 hf, hr, self.locate_fn, self.opt, sopt,
                                 read_offset=read_offset)
 
+    def align_pe(self, reads1, reads2, names=None, quals1=None, quals2=None, *,
+                 read_offset: int = 0, beam_width=None, max_hits=32,
+                 peopt=None):
+        """Paired ends -> interleaved [rec1, rec2, ...] records."""
+        from .resolve.sampe import resolve_batch_pe
+        names = names or [f"pair{read_offset + i}" for i in range(len(reads1))]
+        # one device batch for both ends (and both strands)
+        B = len(reads1)
+        hf, hr = self.search_batch(list(reads1) + list(reads2),
+                                   beam_width=beam_width, max_hits=max_hits)
+        hits1 = (hf[:B], hr[:B])
+        hits2 = (hf[B:], hr[B:])
+        return resolve_batch_pe(self.text, self.meta, reads1, reads2, names,
+                                quals1, quals2, hits1, hits2, self.locate_fn,
+                                self.opt, peopt, read_offset=read_offset)
+
 
 def oracle_align(text, meta, reads, names, quals, opt, sopt=None, read_offset=0):
     """Reference-path alignment: oracle search + the same resolution layer.

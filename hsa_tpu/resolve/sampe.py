@@ -1,0 +1,314 @@
+"""Paired-end resolution -> SAM records (lineage: ``bwape.c``).
+
+Pipeline (SURVEY.md §3.4): per-end occurrence collection (shared with
+samse) -> insert-size inference from unique-unique proper-orientation
+pairs -> best-pair selection -> mate rescue via glocal DP -> records with
+mate fields / proper-pair flags.
+
+Documented deterministic semantics (reference behavior could not be read —
+empty mount; these rules are shared by the oracle pipeline so internal
+record parity holds):
+
+- orientation: proper pairs are FR (the forward-strand end leftmost);
+- insert stats: median/IQR outlier rejection (keep within q25-2*IQR ..
+  q75+2*IQR, inserts capped at ``max_isize``), then mean/std of the kept;
+- pairing objective: minimize (score1+score2, |insert-mean|, pos);
+  accepted iff orientation is FR and insert <= mean+4*std (or
+  ``max_isize`` when stats are unavailable);
+- mate rescue: when one end has no hits and the other a unique best, the
+  missing mate is glocally aligned (full read, free ref ends) in the
+  window implied by FR orientation and ``mean+4*std``; accepted iff its
+  DP cost <= its aln diff budget * s_mm.  Rescued records carry XT:A:M
+  and MAPQ 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import alphabet
+from ..config import AlnOpt, PEOpt
+from .cigar import banded_global, cigar_stats, cigar_string
+from .mapq import approx_mapq
+from .samse import (AlnRecord, Occurrence, collect_occurrences, _make_record,
+                    _HASH)
+
+F_PAIRED, F_PROPER, F_UNMAP, F_MUNMAP = 0x1, 0x2, 0x4, 0x8
+F_REV, F_MREV, F_READ1, F_READ2 = 0x10, 0x20, 0x40, 0x80
+
+
+def fit_in_window(read: np.ndarray, window: np.ndarray, s_mm: int, s_gapo: int,
+                  s_gape: int):
+    """Glocal DP: full read vs any placement in window (free ref start/end).
+
+    Returns (cost, start_offset, cigar).  Used for mate rescue (the
+    ``bwa_paired_sw``/``stdaln.c`` analog; a Pallas version lives in
+    hsa_tpu.kernels.sw).
+    """
+    L, G = len(read), len(window)
+    BIG = 1 << 28
+    m = np.full((L + 1, G + 1), BIG, dtype=np.int64)
+    ins = np.full((L + 1, G + 1), BIG, dtype=np.int64)
+    dele = np.full((L + 1, G + 1), BIG, dtype=np.int64)
+    m[0, :] = 0  # free start anywhere in the window
+    for i in range(1, L + 1):
+        sub = np.where((read[i - 1] <= 3) & (read[i - 1] == window), 0, s_mm)
+        best_prev = np.minimum(np.minimum(m[i - 1, :-1], ins[i - 1, :-1]),
+                               dele[i - 1, :-1])
+        m[i, 1:] = best_prev + sub
+        ins[i, :] = np.minimum(m[i - 1, :] + s_gapo, ins[i - 1, :] + s_gape)
+        row_m, row_d = m[i], dele[i]
+        for j in range(1, G + 1):
+            row_d[j] = min(row_m[j - 1] + s_gapo, row_d[j - 1] + s_gape)
+    totals = np.minimum(np.minimum(m[L], ins[L]), dele[L])
+    jend = int(np.argmin(totals))
+    cost = int(totals[jend])
+    if cost >= BIG:
+        return cost, -1, []
+    # traceback (M > D > I preference), mirroring cigar.banded_global
+    ops = []
+    i, j = L, jend
+    state = int(np.argmin([m[L, jend], dele[L, jend], ins[L, jend]]))
+    while i > 0:
+        if j == 0:
+            ops.append("I"); i -= 1; continue
+        if state == 0:
+            sub = s_mm if (read[i - 1] > 3 or read[i - 1] != window[j - 1]) else 0
+            target = m[i, j] - sub
+            prev = [m[i - 1, j - 1], dele[i - 1, j - 1], ins[i - 1, j - 1]]
+            for s_, p_ in enumerate(prev):
+                if p_ == target:
+                    state = s_
+                    break
+            ops.append("M"); i -= 1; j -= 1
+        elif state == 1:
+            state = 0 if m[i, j - 1] + s_gapo == dele[i, j] else 1
+            ops.append("D"); j -= 1
+        else:
+            state = 0 if m[i - 1, j] + s_gapo == ins[i, j] else 2
+            ops.append("I"); i -= 1
+    ops.reverse()
+    cigar = []
+    for op in ops:
+        if cigar and cigar[-1][0] == op:
+            cigar[-1][1] += 1
+        else:
+            cigar.append([op, 1])
+    start = j
+    return cost, start, [(op, ln) for op, ln in cigar]
+
+
+def _window_occs(lst, s_mm):
+    if not lst:
+        return []
+    best = lst[0].score
+    return [o for o in lst if o.score <= best + s_mm]
+
+
+def _glen(o, L):
+    return L + o.ngapo + o.ngape
+
+
+def _isize(o_f, L_f, o_r, L_r):
+    """Insert size for an FR pair (forward end o_f leftmost)."""
+    return (o_r.pos + _glen(o_r, L_r)) - o_f.pos
+
+
+def infer_isize(pairs_occs, lens1, lens2, max_isize: int):
+    """(mean, std, n) from unique-unique FR pairs (lineage: ``infer_isize``)."""
+    inserts = []
+    for (occ1, occ2), L1, L2 in zip(pairs_occs, lens1, lens2):
+        if len(occ1) != 1 or len(occ2) != 1:
+            continue
+        o1, o2 = occ1[0], occ2[0]
+        if o1.strand == o2.strand:
+            continue
+        of, Lf, orv, Lr = (o1, L1, o2, L2) if o1.strand == 0 else (o2, L2, o1, L1)
+        ins = _isize(of, Lf, orv, Lr)
+        if 0 < ins <= max_isize:
+            inserts.append(ins)
+    if len(inserts) < 8:
+        return None, None, len(inserts)
+    a = np.asarray(inserts, dtype=np.float64)
+    q25, q75 = np.percentile(a, [25, 75])
+    iqr = q75 - q25
+    keep = a[(a >= q25 - 2 * iqr) & (a <= q75 + 2 * iqr)]
+    return float(keep.mean()), float(max(keep.std(), 1.0)), len(keep)
+
+
+def _best_pair(occ1, occ2, L1, L2, mean, std, max_isize):
+    """Best proper FR combo or None; deterministic objective."""
+    limit = (mean + 4 * std) if mean is not None else max_isize
+    lo = max(0.0, (mean - 4 * std)) if mean is not None else 0.0
+    best = None
+    for o1 in occ1:
+        for o2 in occ2:
+            if o1.strand == o2.strand:
+                continue
+            of, Lf, orv, Lr = (o1, L1, o2, L2) if o1.strand == 0 else (o2, L2, o1, L1)
+            ins = _isize(of, Lf, orv, Lr)
+            if ins <= 0 or ins > limit or ins < lo:
+                continue
+            dev = abs(ins - mean) if mean is not None else 0.0
+            key = (o1.score + o2.score, dev, of.pos)
+            if best is None or key < best[0]:
+                best = (key, o1, o2, ins)
+    return best
+
+
+def resolve_batch_pe(text, meta, reads1, reads2, names, quals1, quals2,
+                     hits1, hits2, locate_fn, opt: AlnOpt,
+                     peopt: PEOpt | None = None, read_offset: int = 0,
+                     max_occ: int = 256):
+    """Resolve paired batches -> interleaved [rec1, rec2, ...] records.
+
+    hits1/hits2: (hits_fwd, hits_rc) tuples per end from the search engine.
+    """
+    peopt = peopt or PEOpt()
+    B = len(reads1)
+    occs1, trunc1 = collect_occurrences(hits1[0], hits1[1], locate_fn, max_occ)
+    occs2, trunc2 = collect_occurrences(hits2[0], hits2[1], locate_fn, max_occ)
+
+    def bfilter(lst, L):
+        return [o for o in lst if meta.span_ok(o.pos, _glen(o, L)) or
+                meta.span_ok(o.pos, L)]
+
+    lens1 = [len(r) for r in reads1]
+    lens2 = [len(r) for r in reads2]
+    occs1 = [bfilter(l_, L) for l_, L in zip(occs1, lens1)]
+    occs2 = [bfilter(l_, L) for l_, L in zip(occs2, lens2)]
+
+    w1 = [_window_occs(l_, opt.s_mm)[:64] for l_ in occs1]
+    w2 = [_window_occs(l_, opt.s_mm)[:64] for l_ in occs2]
+    mean, std, n_used = infer_isize(list(zip(w1, w2)), lens1, lens2,
+                                    peopt.max_isize)
+
+    records = []
+    for j in range(B):
+        r1, r2 = reads1[j], reads2[j]
+        L1, L2 = lens1[j], lens2[j]
+        name = names[j]
+        q1 = quals1[j] if quals1 else "*"
+        q2 = quals2[j] if quals2 else "*"
+        o1 = o2 = None
+        proper = False
+        rescued = [False, False]
+
+        pair = _best_pair(w1[j], w2[j], L1, L2, mean, std, peopt.max_isize)
+        if pair is not None:
+            _, o1, o2, _ = pair
+            proper = True
+        else:
+            # independent choices (samse rule)
+            for occ, sel in ((occs1[j], 1), (occs2[j], 2)):
+                if occ:
+                    bests = [o for o in occ if o.score == occ[0].score]
+                    pick = bests[((read_offset + j) * _HASH) % (1 << 32) % len(bests)]
+                    if sel == 1:
+                        o1 = pick
+                    else:
+                        o2 = pick
+            # mate rescue when exactly one end is placed
+            if peopt.is_sw and (o1 is None) != (o2 is None):
+                anchor, missing, Lm, rm = ((o1, 2, L2, r2) if o2 is None
+                                           else (o2, 1, L1, r1))
+                rlim = int((mean + 4 * std) if mean is not None else peopt.max_isize)
+                res = _rescue(text, anchor, rm, Lm, rlim, opt)
+                if res is not None:
+                    if missing == 1:
+                        o1 = res
+                        rescued[0] = True
+                    else:
+                        o2 = res
+                        rescued[1] = True
+                    proper = True
+
+        for endno, (read, L, qual, o, o_mate, L_mate, occ, trunc) in enumerate((
+                (r1, L1, q1, o1, o2, L2, occs1[j], trunc1[j]),
+                (r2, L2, q2, o2, o1, L1, occs2[j], trunc2[j]))):
+            flag = F_PAIRED | (F_READ1 if endno == 0 else F_READ2)
+            if o is None:
+                flag |= F_UNMAP
+                if o_mate is not None:
+                    flag |= F_MREV if o_mate.strand else 0
+                rec = AlnRecord(name, flag, "*", 0, 0, "*",
+                                alphabet.decode(read), qual)
+                if o_mate is not None:
+                    ri, off_m = meta.pos_to_ref(o_mate.pos)
+                    rec.rname = meta.names[ri]
+                    rec.pos = off_m + 1  # SAM: unmapped-with-mapped-mate convention
+                    rec.rnext = "="
+                    rec.pnext = off_m + 1
+                records.append(rec)
+                continue
+            if proper:
+                flag |= F_PROPER
+            if o.strand:
+                flag |= F_REV
+            if o_mate is None:
+                flag |= F_MUNMAP
+            elif o_mate.strand:
+                flag |= F_MREV
+
+            window = _window_occs(occ, opt.s_mm) if occ else []
+            c1 = min(sum(1 for x in window if x.score == (occ[0].score if occ else 0)), 256)
+            c2 = min(len(window) - c1, 256) if occ else 0
+            was_rescued = rescued[endno]
+            if was_rescued:
+                mapq = 0
+            else:
+                mapq = approx_mapq(c1 if occ else 1, c2, o.nmm, opt.diff_budget(L))
+            rec = _make_record(text, meta, read, name, qual, o, mapq, opt)
+            rec.flag = flag  # replaces _make_record's 0/16 (strand folded in)
+            if occ and not was_rescued:
+                rec.tags["X0"] = c1
+                if not trunc:
+                    rec.tags["X1"] = c2
+            if was_rescued:
+                rec.tags["XT"] = "M"
+            if o_mate is not None:
+                ri_m, off_m = meta.pos_to_ref(o_mate.pos)
+                ri_s, _ = meta.pos_to_ref(o.pos)
+                rec.rnext = "=" if ri_m == ri_s else meta.names[ri_m]
+                rec.pnext = off_m + 1
+                if ri_m == ri_s:
+                    left = min(o.pos, o_mate.pos)
+                    right = max(o.pos + _glen(o, L), o_mate.pos + _glen(o_mate, L_mate))
+                    t = right - left
+                    rec.tlen = t if o.pos <= o_mate.pos else -t
+            records.append(rec)
+    return records
+
+
+def _rescue(text, anchor: Occurrence, read: np.ndarray, L: int, rlim: int,
+            opt: AlnOpt):
+    """Glocal-align the missing mate near its anchored mate (FR orientation)."""
+    if anchor.strand == 0:
+        # anchor forward -> mate reverse, downstream: window [pos, pos+rlim)
+        lo = anchor.pos
+        hi = min(len(text), anchor.pos + max(rlim, L + 8))
+        target = alphabet.revcomp(read)
+        strand = 1
+    else:
+        hi = anchor.pos + L + 8
+        lo = max(0, hi - max(rlim, L + 8))
+        hi = min(len(text), hi)
+        target = read
+        strand = 0
+    window = np.asarray(text[lo:hi])
+    if len(window) < L:
+        return None
+    cost, start, cigar = fit_in_window(target, window, opt.s_mm, opt.s_gapo,
+                                       opt.s_gape)
+    # rescue reaches beyond the search budget by design: accept up to 15% of
+    # the read length in mismatch-equivalents (documented deviation; the
+    # lineage uses a +1/-3 local-SW score threshold of similar stringency)
+    budget = max(opt.diff_budget(L), round(0.15 * L))
+    if start < 0 or cost > budget * opt.s_mm:
+        return None
+    n_ins = sum(ln for op, ln in cigar if op == "I")
+    n_del = sum(ln for op, ln in cigar if op == "D")
+    n_opens = sum(1 for op, ln in cigar if op in ("I", "D"))
+    nm, _ = cigar_stats(cigar, target, window[start:start + L + n_del])
+    return Occurrence(lo + start, strand, cost, nm - n_ins - n_del,
+                      n_opens, max(n_ins + n_del - n_opens, 0))

@@ -38,6 +38,9 @@ class AlnRecord:
     cigar: str
     seq: str
     qual: str
+    rnext: str = "*"
+    pnext: int = 0
+    tlen: int = 0
     tags: dict = field(default_factory=dict)
 
     def to_sam(self) -> str:
@@ -49,8 +52,8 @@ class AlnRecord:
                 ty = "i" if isinstance(v, (int, np.integer)) else "Z"
                 tags.append(f"{t}:{ty}:{v}")
         fields = [self.qname, str(self.flag), self.rname, str(self.pos),
-                  str(self.mapq), self.cigar, "*", "0", "0", self.seq,
-                  self.qual or "*"]
+                  str(self.mapq), self.cigar, self.rnext, str(self.pnext),
+                  str(self.tlen), self.seq, self.qual or "*"]
         return "\t".join(fields + tags)
 
 

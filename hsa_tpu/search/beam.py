@@ -9,19 +9,26 @@ deletions — scores them with the Appendix-A budgets, and keeps the best
 ``W`` by score (``lax.top_k``).  Completed states (i == 0) migrate into a
 per-read hit buffer of capacity ``H``.
 
+Performance layout (this is the hot loop of the whole framework): a state
+is THREE uint32 words — k, l, and a bit-packed ``meta`` word::
+
+    meta = i | nmm<<9 | ngapo<<13 | ngape<<16 | seed_mm<<20 | st<<24
+
+so the per-step top-W selection costs one ``top_k`` over score keys plus a
+SINGLE ``take_along_axis`` gather of the packed [B, 9W, 3] candidate
+array; liveness and scores are re-derived from the returned top-k *values*
+(separate per-field gathers were ~7x the cost of the occ pass itself).
+The hit-buffer merge runs under ``lax.cond`` — completions only happen in
+the last ~(max_gapo+max_gape+1) steps of a read.
+
 Parity contract (SURVEY.md §7.3.1): the oracle's accepted hit set is
 order-independent, so this engine reproduces it exactly *provided no valid
 candidate is dropped* by the top-W selection or the hit buffer.  Both drop
 events are counted and returned (``n_live_dropped`` / ``n_hits_dropped``);
 a nonzero count on a read is a parity alarm for that read.
 
-State fields (per [B, W] slot):
-  k, l     uint32  SA interval
-  i        int32   unmatched read-prefix length (completion at 0)
-  nmm/ngapo/ngape/seed_mm  int32 budgets spent
-  st       int32   last op: 0=M 1=I 2=D (affine transitions M->MID, I->IM, D->DM)
-  score    int32
-  live     bool
+Field limits implied by the packing: read length <= 511, nmm <= 15,
+ngapo <= 7, ngape <= 15, seed diffs <= 15 (asserted).
 """
 
 from __future__ import annotations
@@ -32,13 +39,31 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from . import fm
-
 U32 = jnp.uint32
 I32 = jnp.int32
 INF = jnp.int32(1 << 29)
 _KEYMAX = jnp.int32(1 << 30)
 M_, I_, D_ = 0, 1, 2
+
+# meta bit layout
+_I_BITS = 9
+_NMM_SH, _GAPO_SH, _GAPE_SH, _SEED_SH, _ST_SH = 9, 13, 16, 20, 24
+
+
+def _pack(i, nmm, ngapo, ngape, seed_mm, st):
+    return (i.astype(U32) | (nmm.astype(U32) << _NMM_SH)
+            | (ngapo.astype(U32) << _GAPO_SH) | (ngape.astype(U32) << _GAPE_SH)
+            | (seed_mm.astype(U32) << _SEED_SH) | (st.astype(U32) << _ST_SH))
+
+
+def _unpack(meta):
+    i = (meta & U32(0x1FF)).astype(I32)
+    nmm = ((meta >> _NMM_SH) & U32(0xF)).astype(I32)
+    ngapo = ((meta >> _GAPO_SH) & U32(0x7)).astype(I32)
+    ngape = ((meta >> _GAPE_SH) & U32(0xF)).astype(I32)
+    seed_mm = ((meta >> _SEED_SH) & U32(0xF)).astype(I32)
+    st = ((meta >> _ST_SH) & U32(0x3)).astype(I32)
+    return i, nmm, ngapo, ngape, seed_mm, st
 
 
 class BeamResult(NamedTuple):
@@ -54,14 +79,18 @@ class BeamResult(NamedTuple):
     n_hits_dropped: jnp.ndarray  # int32[B]
 
 
-def _topk_select(fields: dict, valid, score, K: int):
-    """Keep the K lowest-score valid entries of each row."""
+def _select_packed(packed, valid, score, K: int):
+    """Keep the K lowest-score valid rows of packed [B, N, 3].
+
+    Returns (packed[B,K,3], valid[B,K], score[B,K], n_valid[B]).
+    Liveness/score come from the top-k values — no extra gathers.
+    """
     key = jnp.where(valid, _KEYMAX - score, I32(-1))
-    _, idxs = lax.top_k(key, K)
-    out = {n: jnp.take_along_axis(a, idxs, axis=1) for n, a in fields.items()}
-    out_valid = jnp.take_along_axis(valid, idxs, axis=1)
-    out_score = jnp.take_along_axis(score, idxs, axis=1)
-    return out, out_valid, out_score
+    vals, idxs = lax.top_k(key, K)
+    out = jnp.take_along_axis(packed, idxs[:, :, None], axis=1)
+    out_valid = vals > -1
+    out_score = jnp.where(out_valid, _KEYMAX - vals, INF)
+    return out, out_valid, out_score, valid.sum(axis=1, dtype=I32)
 
 
 def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
@@ -74,133 +103,138 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
                pass zeros to disable pruning (hit set unchanged)
     max_diff:  int32[B] per-read diff budgets
     """
+    from . import fm
+
     W = beam_width or opt.beam_width
     H = max_hits
     B, Lmax = reads_fwd.shape
+    assert Lmax < (1 << _I_BITS), "read length exceeds packed-state limit (511)"
+    assert opt.max_gapo <= 7 and opt.max_gape <= 15 and opt.max_seed_diff <= 15
     reads_fwd = reads_fwd.astype(I32)
     lens = lens.astype(I32)
-    max_diff = max_diff.astype(I32)
+    max_diff = jnp.minimum(max_diff.astype(I32), 15)
     s_mm, s_gapo, s_gape = opt.s_mm, opt.s_gapo, opt.s_gape
     skip = opt.indel_end_skip
 
-    # Dshift[b, j] = D[b, j-1], Dshift[b, 0] = 0  (lower bound for prefix len j;
-    # shape [B, Lmax+1] so j = i' in [0, Lmax] indexes directly)
+    # Dshift[b, j] = D[b, j-1], Dshift[b, 0] = 0  (lower bound for prefix len j)
     Dshift = jnp.concatenate([jnp.zeros((B, 1), I32), D.astype(I32)], axis=1)
 
-    def init_frontier():
-        z = lambda dt: jnp.zeros((B, W), dt)
-        f = dict(k=z(U32), l=z(U32), i=z(I32), nmm=z(I32), ngapo=z(I32),
-                 ngape=z(I32), seed_mm=z(I32), st=z(I32))
-        f["l"] = f["l"].at[:, 0].set(jnp.full(B, idx.n, U32))
-        f["i"] = f["i"].at[:, 0].set(lens)
-        live = jnp.zeros((B, W), bool).at[:, 0].set(lens > 0)
-        score = jnp.zeros((B, W), I32)
-        return f, live, score
+    # frontier: packed [B, W, 3] (k, l, meta) + score + live
+    f0 = jnp.zeros((B, W, 3), U32)
+    f0 = f0.at[:, 0, 1].set(jnp.full(B, idx.n, U32))
+    f0 = f0.at[:, 0, 2].set(lens.astype(U32))  # i = len, all else 0, st = M
+    live0 = jnp.zeros((B, W), bool).at[:, 0].set(lens > 0)
+    score0 = jnp.zeros((B, W), I32)
 
-    f0, live0, score0 = init_frontier()
-    hits0 = dict(k=jnp.zeros((B, H), U32), l=jnp.zeros((B, H), U32),
-                 nmm=jnp.zeros((B, H), I32), ngapo=jnp.zeros((B, H), I32),
-                 ngape=jnp.zeros((B, H), I32))
+    hits0 = jnp.zeros((B, H, 3), U32)
     hitsv0 = jnp.zeros((B, H), bool)
     hitss0 = jnp.full((B, H), INF, I32)
     best0 = jnp.full(B, INF, I32)
     drops0 = jnp.zeros(B, I32)
 
     n_steps = Lmax + opt.max_gapo + opt.max_gape
+    seed_start = lens - opt.seed_len  # in_seed iff i > seed_start
 
     def step(carry, _):
         f, live, score, hits, hitsv, hitss, best, ldrop, hdrop = carry
 
-        i = f["i"]
+        k, l, meta = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        i, nmm, ngapo, ngape, seed_mm, st = _unpack(meta)
+        ndiff = nmm + ngapo + ngape
         expand = live & (i > 0)
-        # per-state read base (next to consume, 3' side of the unmatched prefix)
         bidx = jnp.clip(i - 1, 0, Lmax - 1)
         b = jnp.take_along_axis(reads_fwd, bidx, axis=1)       # [B, W]
-        in_seed = (i > (lens - opt.seed_len)[:, None]).astype(I32)
+        in_seed = (i > seed_start[:, None]).astype(I32)
         consumed = lens[:, None] - i
         indel_ok = (consumed >= skip) & (i >= skip)
+        # D lower bounds for child prefix lengths i (deletions) and i-1 (the rest)
+        lb_i = jnp.take_along_axis(Dshift, jnp.clip(i, 0, Lmax), axis=1)
+        lb_im1 = jnp.take_along_axis(Dshift, jnp.clip(i - 1, 0, Lmax), axis=1)
 
         # one fused occ pass for all 4 bases at both interval ends
-        k4, l4 = fm.extend4(idx, f["k"].reshape(-1), f["l"].reshape(-1))
+        k4, l4 = fm.extend4(idx, k.reshape(-1), l.reshape(-1))
         k4 = k4.reshape(B, W, 4)
         l4 = l4.reshape(B, W, 4)
         nonempty = k4 <= l4
 
-        open_ = f["st"] == M_
+        open_ = st == M_
         gap_cost = jnp.where(open_, s_gapo, s_gape)
-        ins_ok = indel_ok & ((open_ & (f["ngapo"] < opt.max_gapo))
-                             | ((f["st"] == I_) & (f["ngape"] < opt.max_gape)))
-        del_ok = indel_ok & ((open_ & (f["ngapo"] < opt.max_gapo))
-                             | ((f["st"] == D_) & (f["ngape"] < opt.max_gape)))
+        d_gapo, d_gape = open_.astype(I32), (~open_).astype(I32)
+        ins_ok = indel_ok & ((open_ & (ngapo < opt.max_gapo))
+                             | ((st == I_) & (ngape < opt.max_gape)))
+        del_ok = indel_ok & ((open_ & (ngapo < opt.max_gapo))
+                             | ((st == D_) & (ngape < opt.max_gape)))
 
-        cand = {n: [] for n in ("k", "l", "i", "nmm", "ngapo", "ngape",
-                                "seed_mm", "st", "score")}
-        cvalid = []
+        ks, ls, metas, scores, valids, hitables = [], [], [], [], [], []
 
-        def add(valid, k, l, i_, nmm, ngapo, ngape, seed_mm, st, score_):
-            cand["k"].append(k); cand["l"].append(l); cand["i"].append(i_)
-            cand["nmm"].append(nmm); cand["ngapo"].append(ngapo)
-            cand["ngape"].append(ngape); cand["seed_mm"].append(seed_mm)
-            cand["st"].append(jnp.broadcast_to(st, valid.shape).astype(I32))
-            cand["score"].append(score_)
-            cvalid.append(valid)
+        def add(valid, kk, ll, mm, sc, hitable):
+            ks.append(kk); ls.append(ll); metas.append(mm)
+            scores.append(sc); valids.append(valid); hitables.append(hitable)
 
-        # 4 match/mismatch children
+        # 4 match/mismatch children (consume a read base)
         for a in range(4):
             ismm = (b != a).astype(I32)
-            add(expand & nonempty[:, :, a],
-                k4[:, :, a], l4[:, :, a], i - 1,
-                f["nmm"] + ismm, f["ngapo"], f["ngape"],
-                f["seed_mm"] + ismm * in_seed, M_,
-                score + ismm * s_mm)
+            seed_add = ismm * in_seed
+            child_meta = _pack(i - 1, nmm + ismm, ngapo, ngape,
+                               seed_mm + seed_add, jnp.full_like(i, M_))
+            child_ndiff = ndiff + ismm
+            ok = (expand & nonempty[:, :, a]
+                  & (child_ndiff + lb_im1 <= max_diff[:, None])
+                  & (seed_mm + seed_add <= opt.max_seed_diff))
+            add(ok, k4[:, :, a], l4[:, :, a], child_meta,
+                score + ismm * s_mm, True)
 
-        # insertion child (consumes a read base, interval unchanged)
-        add(expand & ins_ok,
-            f["k"], f["l"], i - 1,
-            f["nmm"], f["ngapo"] + open_.astype(I32), f["ngape"] + (~open_).astype(I32),
-            f["seed_mm"] + in_seed, I_,
-            score + gap_cost)
+        # insertion child (consume a read base, interval unchanged)
+        child_meta = _pack(i - 1, nmm, ngapo + d_gapo, ngape + d_gape,
+                           seed_mm + in_seed, jnp.full_like(i, I_))
+        ok = (expand & ins_ok
+              & (ndiff + 1 + lb_im1 <= max_diff[:, None])
+              & (seed_mm + in_seed <= opt.max_seed_diff))
+        add(ok, k, l, child_meta, score + gap_cost, True)
 
         # 4 deletion children (consume a genome base, i unchanged)
         for a in range(4):
-            add(expand & del_ok & nonempty[:, :, a],
-                k4[:, :, a], l4[:, :, a], i,
-                f["nmm"], f["ngapo"] + open_.astype(I32), f["ngape"] + (~open_).astype(I32),
-                f["seed_mm"] + in_seed, D_,
-                score + gap_cost)
+            child_meta = _pack(i, nmm, ngapo + d_gapo, ngape + d_gape,
+                               seed_mm + in_seed, jnp.full_like(i, D_))
+            ok = (expand & del_ok & nonempty[:, :, a]
+                  & (ndiff + 1 + lb_i <= max_diff[:, None])
+                  & (seed_mm + in_seed <= opt.max_seed_diff))
+            add(ok, k4[:, :, a], l4[:, :, a], child_meta, score + gap_cost, False)
 
-        C = {n: jnp.concatenate(v, axis=1) for n, v in cand.items()}  # [B, 9W]
-        V = jnp.concatenate(cvalid, axis=1)
-        ndiff = C["nmm"] + C["ngapo"] + C["ngape"]
-        lb = jnp.take_along_axis(Dshift, jnp.clip(C["i"], 0, Lmax), axis=1)
-        V = V & (ndiff + lb <= max_diff[:, None]) \
-              & (C["seed_mm"] <= opt.max_seed_diff)
+        kc = jnp.concatenate(ks, axis=1)          # [B, 9W]
+        lc = jnp.concatenate(ls, axis=1)
+        metac = jnp.concatenate(metas, axis=1)
+        scorec = jnp.concatenate(scores, axis=1)
+        V = jnp.concatenate(valids, axis=1)
+        packed = jnp.stack([kc, lc, metac], axis=2)  # [B, 9W, 3]
 
-        hitmask = V & (C["i"] == 0)
-        step_best = jnp.min(jnp.where(hitmask, C["score"], INF), axis=1)
+        child_i = (metac & U32(0x1FF)).astype(I32)
+        hitmask = V & (child_i == 0)
+        step_best = jnp.min(jnp.where(hitmask, scorec, INF), axis=1)
         best = jnp.minimum(best, step_best)
-        window = C["score"] <= (best[:, None] + s_mm)
+        window = scorec <= (best[:, None] + s_mm)
         hitmask = hitmask & window
-        livemask = V & (C["i"] > 0) & window
+        livemask = V & (child_i > 0) & window
 
-        # --- frontier selection ---
-        nf_fields = {n: C[n] for n in ("k", "l", "i", "nmm", "ngapo", "ngape",
-                                       "seed_mm", "st")}
-        f2, live2, score2 = _topk_select(nf_fields, livemask, C["score"], W)
-        ldrop = ldrop + jnp.maximum(livemask.sum(axis=1, dtype=I32) - W, 0)
+        # --- frontier selection (one top_k + one packed gather) ---
+        f2, live2, score2, n_valid = _select_packed(packed, livemask, scorec, W)
+        ldrop = ldrop + jnp.maximum(n_valid - W, 0)
 
-        # --- hit-buffer merge ---
-        # only the 5W read-consuming children (match/mismatch, insertion) can
-        # reach i == 0; deletion children keep i unchanged — slice them off
-        HC = 5 * W
-        merged = {n: jnp.concatenate([hits[n], C[n][:, :HC]], axis=1)
-                  for n in ("k", "l", "nmm", "ngapo", "ngape")}
-        mvalid = jnp.concatenate([hitsv, hitmask[:, :HC]], axis=1)
-        mscore = jnp.concatenate([hitss, C["score"][:, :HC]], axis=1)
-        hits2, hitsv2, hitss2 = _topk_select(merged, mvalid, mscore, H)
-        hdrop = hdrop + jnp.maximum(mvalid.sum(axis=1, dtype=I32) - H, 0)
+        # --- hit-buffer merge, only when some candidate completed ---
+        HC = 5 * W  # only read-consuming children (first 5 groups) can complete
 
-        return (f2, live2, score2, hits2, hitsv2, hitss2, best, ldrop, hdrop), None
+        def do_merge(args):
+            hits, hitsv, hitss, hdrop = args
+            merged = jnp.concatenate([hits, packed[:, :HC]], axis=1)
+            mvalid = jnp.concatenate([hitsv, hitmask[:, :HC]], axis=1)
+            mscore = jnp.concatenate([hitss, scorec[:, :HC]], axis=1)
+            h2, hv2, hs2, n_v = _select_packed(merged, mvalid, mscore, H)
+            return h2, hv2, hs2, hdrop + jnp.maximum(n_v - H, 0)
+
+        hits, hitsv, hitss, hdrop = lax.cond(
+            jnp.any(hitmask), do_merge, lambda a: a, (hits, hitsv, hitss, hdrop))
+
+        return (f2, live2, score2, hits, hitsv, hitss, best, ldrop, hdrop), None
 
     carry0 = (f0, live0, score0, hits0, hitsv0, hitss0, best0, drops0, drops0)
     (f, live, score, hits, hitsv, hitss, best, ldrop, hdrop), _ = lax.scan(
@@ -208,10 +242,11 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
 
     # final window filter (scores may beat earlier hits later in the run)
     hitsv = hitsv & (hitss <= best[:, None] + s_mm)
-    return BeamResult(hit_score=hitss, hit_k=hits["k"], hit_l=hits["l"],
-                      hit_nmm=hits["nmm"], hit_ngapo=hits["ngapo"],
-                      hit_ngape=hits["ngape"], hit_valid=hitsv,
-                      best_score=best, n_live_dropped=ldrop, n_hits_dropped=hdrop)
+    hi, hnmm, hgapo, hgape, _, _ = _unpack(hits[:, :, 2])
+    return BeamResult(hit_score=hitss, hit_k=hits[:, :, 0], hit_l=hits[:, :, 1],
+                      hit_nmm=hnmm, hit_ngapo=hgapo, hit_ngape=hgape,
+                      hit_valid=hitsv, best_score=best,
+                      n_live_dropped=ldrop, n_hits_dropped=hdrop)
 
 
 def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None):

@@ -66,17 +66,28 @@ def _psum(idx, x):
     return lax.psum(x, ax) if ax is not None else x
 
 
-def _row_split(idx, blocks, p_st, offset_attr):
-    """(cnt[B,4], words[B,8], off[B], own[B]|None) for stored prefix lengths."""
-    b = (p_st >> U32(7)).astype(jnp.int32)
-    off = (p_st & U32(127)).astype(jnp.int32)
+def _row_split(idx, blocks, superblocks, p_st, offset_attr):
+    """(cnt[B,4], words[B,2], off[B], own[B]|None) for stored prefix lengths.
+
+    cnt = superblock absolute counts + block-relative uint16 counts; words
+    are the block's 32 symbols (2-bit packed, 16 per word); off in [0, 32).
+    Superblock tables are small and replicated on sharded indexes (their
+    contribution is still gated by ``own`` in the callers).
+    """
+    b = (p_st >> U32(5)).astype(jnp.int32)
+    sbi = (p_st >> U32(15)).astype(jnp.int32)
+    off = (p_st & U32(31)).astype(jnp.int32)
     rows, own = _gather_rows(idx, blocks, b, offset_attr)
-    return rows[:, 0:4], rows[:, 4:12], off, own
+    sb = jnp.take(superblocks, sbi, axis=0)          # [B,4] absolute counts
+    relAC, relGT = rows[:, 0], rows[:, 1]
+    rel = jnp.stack([relAC & U32(0xFFFF), relAC >> U32(16),
+                     relGT & U32(0xFFFF), relGT >> U32(16)], axis=1)
+    return sb + rel, rows[:, 2:4], off, own
 
 
 def _inblock_valid_mask(off):
-    """[B,8] uint32 mask selecting the first ``off`` symbols of a block."""
-    widx = jnp.arange(8, dtype=jnp.int32)
+    """[B,2] uint32 mask selecting the first ``off`` symbols of a block."""
+    widx = jnp.arange(2, dtype=jnp.int32)
     v = jnp.clip(off[:, None] - 16 * widx[None, :], 0, 16)  # valid syms per word
     shift = (U32(2) * (U32(16) - jnp.maximum(v, 1).astype(U32)))
     return jnp.where(v > 0, _PAT55 >> shift, U32(0))
@@ -90,7 +101,7 @@ def _match_bits(words, a):
 
 def occ_lt4(idx, p):
     """[B,4] counts of each base among bwt_full rows [0, p). p: uint32[B]."""
-    cnt, words, off, own = _row_split(idx, idx.occ_blocks,
+    cnt, words, off, own = _row_split(idx, idx.occ_blocks, idx.occ_super,
                                       _stored_prefix(idx.primary, p), "row_offset")
     vmask = _inblock_valid_mask(off)
     outs = []
@@ -106,10 +117,11 @@ def occ_lt4(idx, p):
 def occ_lt(idx, a, p, *, rev: bool = False):
     """[B] count of base a[B] among bwt_full rows [0, p). a must be 0..3."""
     blocks = idx.rev_occ_blocks if rev else idx.occ_blocks
+    superblocks = idx.rev_occ_super if rev else idx.occ_super
     primary = idx.rev_primary if rev else idx.primary
     offset_attr = "rev_row_offset" if rev else "row_offset"
-    cnt, words, off, own = _row_split(idx, blocks, _stored_prefix(primary, p),
-                                      offset_attr)
+    cnt, words, off, own = _row_split(idx, blocks, superblocks,
+                                      _stored_prefix(primary, p), offset_attr)
     vmask = _inblock_valid_mask(off)
     y = _match_bits(words, a[:, None]) & vmask
     inb = lax.population_count(y).sum(axis=1, dtype=U32)
@@ -142,10 +154,10 @@ def extend4(idx, k, l):
 def bwt_char(idx, r):
     """bwt_full symbol at rank r (garbage at r == primary; mask there)."""
     j = jnp.where(r < idx.primary, r, r - U32(1))
-    b = (j >> U32(7)).astype(jnp.int32)
-    off = (j & U32(127)).astype(jnp.int32)
+    b = (j >> U32(5)).astype(jnp.int32)
+    off = (j & U32(31)).astype(jnp.int32)
     rows, _ = _gather_rows(idx, idx.occ_blocks, b, "row_offset")
-    word = jnp.take_along_axis(rows, (4 + (off >> 4))[:, None], axis=1)[:, 0]
+    word = jnp.take_along_axis(rows, (2 + (off >> 4))[:, None], axis=1)[:, 0]
     # non-owned rows are zero -> contribute 0; psum recovers the owner's value
     return _psum(idx, (word >> (U32(2) * (off & 15).astype(U32))) & U32(3))
 

@@ -1,0 +1,133 @@
+"""Paired-end resolution: pairing, insert stats, mate rescue, flags."""
+
+import numpy as np
+import pytest
+
+from hsa_tpu import alphabet
+from hsa_tpu.config import AlnOpt, PEOpt
+from hsa_tpu.resolve.sampe import (fit_in_window, infer_isize, resolve_batch_pe,
+                                   F_PAIRED, F_PROPER, F_UNMAP, F_MUNMAP,
+                                   F_REV, F_MREV, F_READ1, F_READ2)
+
+
+def test_fit_in_window_exact():
+    rs = np.random.RandomState(0)
+    w = rs.randint(0, 4, 200).astype(np.int8)
+    read = w[50:110].copy()
+    cost, start, cigar = fit_in_window(read, w, 3, 11, 4)
+    assert (cost, start) == (0, 50)
+    assert cigar == [("M", 60)]
+
+
+def test_fit_in_window_mismatch_and_gap():
+    rs = np.random.RandomState(1)
+    w = rs.randint(0, 4, 200).astype(np.int8)
+    read = w[30:91].copy()
+    read = np.concatenate([read[:20], read[21:]])  # deletion
+    read[40] = (read[40] + 1) % 4
+    cost, start, cigar = fit_in_window(read, w, 3, 11, 4)
+    assert start == 30
+    assert cost == 11 + 3
+    assert sum(ln for op, ln in cigar if op == "D") == 1
+
+
+@pytest.fixture(scope="module")
+def pe_env(tmp_path_factory):
+    from hsa_tpu.pipeline import Aligner, build_index
+    tmp = tmp_path_factory.mktemp("pe")
+    rs = np.random.RandomState(13)
+    chrom = "".join("ACGT"[i] for i in rs.randint(0, 4, 20_000))
+    fa = tmp / "ref.fa"
+    fa.write_text(f">c1\n{chrom}\n")
+    build_index(str(fa), str(tmp / "ref"))
+    al = Aligner(str(tmp / "ref.hsa"), AlnOpt(max_diff=2))
+    return al, chrom
+
+
+def make_pairs(chrom, rs, n, L=60, isize=300):
+    """FR pairs sampled from the genome with normal-ish inserts."""
+    r1s, r2s, poss = [], [], []
+    for _ in range(n):
+        ins = int(np.clip(rs.normal(isize, 20), 2 * L + 10, 480))
+        p = rs.randint(0, len(chrom) - ins - 1)
+        frag = chrom[p:p + ins]
+        r1 = alphabet.encode(frag[:L])
+        r2 = alphabet.revcomp(alphabet.encode(frag[-L:]))
+        r1s.append(r1); r2s.append(r2); poss.append((p, p + ins - L))
+    return r1s, r2s, poss
+
+
+def test_paired_end_to_end(pe_env):
+    al, chrom = pe_env
+    rs = np.random.RandomState(7)
+    r1s, r2s, poss = make_pairs(chrom, rs, 24)
+    recs = al.align_pe(r1s, r2s, beam_width=512)
+    assert len(recs) == 48
+    for j in range(24):
+        a, b = recs[2 * j], recs[2 * j + 1]
+        assert a.flag & F_PAIRED and b.flag & F_PAIRED
+        assert a.flag & F_READ1 and b.flag & F_READ2
+        assert a.flag & F_PROPER and b.flag & F_PROPER
+        assert not (a.flag & F_UNMAP) and not (b.flag & F_UNMAP)
+        assert a.pos == poss[j][0] + 1
+        assert b.pos == poss[j][1] + 1
+        assert (a.flag & F_REV, b.flag & F_REV) == (0, F_REV)
+        assert a.rnext == "=" and b.rnext == "="
+        assert a.pnext == b.pos and b.pnext == a.pos
+        assert a.tlen > 0 and b.tlen == -a.tlen
+
+
+def test_isize_inference(pe_env):
+    al, chrom = pe_env
+    rs = np.random.RandomState(11)
+    r1s, r2s, _ = make_pairs(chrom, rs, 40, isize=250)
+    hf, hr = al.search_batch(list(r1s) + list(r2s), beam_width=512)
+    B = 40
+    from hsa_tpu.resolve.samse import collect_occurrences
+    o1, _ = collect_occurrences(hf[:B], hr[:B], al.locate_fn)
+    o2, _ = collect_occurrences(hf[B:], hr[B:], al.locate_fn)
+    mean, std, n = infer_isize(list(zip(o1, o2)), [60] * B, [60] * B, 500)
+    assert n >= 30
+    assert 230 <= mean <= 270
+    assert std < 40
+
+
+def test_mate_rescue(pe_env):
+    al, chrom = pe_env
+    rs = np.random.RandomState(17)
+    # R2 has too many diffs to be found by search (6 mismatches, budget 2)
+    # but is rescuable by SW near R1
+    r1s, r2s, poss = make_pairs(chrom, rs, 20)  # stats come from these
+    p = 5000
+    ins = 300
+    L = 60
+    frag = chrom[p:p + ins]
+    r1 = alphabet.encode(frag[:L])
+    r2 = alphabet.revcomp(alphabet.encode(frag[-L:]))
+    for q in (5, 15, 25, 35, 45, 55):
+        r2[q] = (r2[q] + 1) % 4  # 6 mismatches
+    recs = al.align_pe(r1s + [r1], r2s + [r2], beam_width=512)
+    a, b = recs[-2], recs[-1]
+    assert not (a.flag & F_UNMAP)
+    assert a.pos == p + 1
+    # mate was rescued: mapped at the far end of the fragment, flagged proper
+    assert not (b.flag & F_UNMAP), b.to_sam()
+    assert b.flag & F_PROPER
+    assert b.pos == p + ins - L + 1
+    assert b.tags.get("XT") == "M" and b.mapq == 0
+
+
+def test_one_end_unmappable_no_rescue_possible(pe_env):
+    al, chrom = pe_env
+    rs = np.random.RandomState(19)
+    r1s, r2s, _ = make_pairs(chrom, rs, 10)
+    junk = rs.randint(0, 4, 60).astype(np.int8)  # not from genome
+    recs = al.align_pe(r1s + [alphabet.encode(chrom[100:160])], r2s + [junk],
+                       beam_width=512)
+    a, b = recs[-2], recs[-1]
+    assert not (a.flag & F_UNMAP)
+    # junk may or may not be rescued depending on random window cost; if
+    # unmapped it must carry the mate-position convention
+    if b.flag & F_UNMAP:
+        assert a.flag & F_MUNMAP
+        assert b.rname == a.rname and b.pos == a.pos
