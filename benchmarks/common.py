@@ -1,0 +1,82 @@
+"""Shared helpers for the five BASELINE benchmark configs.
+
+Each config script prints one JSON line (same shape as bench.py).  Genomes
+are synthetic (no network in this environment — see BASELINE.md); sizes
+default to the BASELINE scales where feasible and are overridable via
+HSA_BENCH_* env vars.  Indexes cache under ~/.cache/hsa_tpu_bench.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = os.path.expanduser("~/.cache/hsa_tpu_bench")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def setup_jax(platform=None):
+    import jax
+    os.makedirs(os.path.join(CACHE, "xla"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE, "xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    return jax
+
+
+def cached_index(name: str, n: int, seed: int = 7, sa_intv: int = 32,
+                 with_reverse: bool = True):
+    from hsa_tpu.index.layout import DeviceIndex, build_device_index
+    os.makedirs(CACHE, exist_ok=True)
+    ip = os.path.join(CACHE, f"{name}.npz")
+    tp = os.path.join(CACHE, f"{name}_txt.npy")
+    if os.path.exists(ip) and os.path.exists(tp):
+        try:
+            return DeviceIndex.load(ip), np.load(tp, mmap_mode="r")
+        except ValueError:
+            pass  # stale layout: rebuild
+    t = np.random.RandomState(seed).randint(0, 4, n).astype(np.int8)
+    di = build_device_index(t, sa_intv=sa_intv, with_reverse=with_reverse)
+    di.save(ip)
+    np.save(tp, t)
+    return di, t
+
+
+def sample_reads(text, n_reads, read_len, n_mm=0, indel=False, seed=1):
+    rs = np.random.RandomState(seed)
+    n = len(text)
+    fwd = np.empty((n_reads, read_len), np.uint8)
+    for j in range(n_reads):
+        p = rs.randint(0, n - read_len - 2)
+        r = np.asarray(text[p:p + read_len + (1 if indel and j % 4 == 0 else 0)]).copy()
+        if indel and j % 4 == 0:
+            cut = rs.randint(8, read_len - 8)
+            r = np.concatenate([r[:cut], r[cut + 1:]])
+        for _ in range(n_mm):
+            q = rs.randint(0, read_len)
+            r[q] = (r[q] + rs.randint(1, 4)) % 4
+        fwd[j] = r[:read_len]
+    return fwd
+
+
+def timeit(fn, *args, iters=4):
+    out = fn(*args)
+    import jax
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters, out
+
+
+def report(metric, value, unit, vs_baseline=None, **extra):
+    rec = {"metric": metric, "value": round(float(value), 2), "unit": unit,
+           "vs_baseline": round(float(vs_baseline), 3) if vs_baseline else None}
+    rec.update(extra)
+    print(json.dumps(rec))

@@ -132,7 +132,10 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
     best0 = jnp.full(B, INF, I32)
     drops0 = jnp.zeros(B, I32)
 
-    n_steps = Lmax + opt.max_gapo + opt.max_gape
+    # static specialization: no gap children at all when gap opens are
+    # disabled (mismatch-only configs get 4W candidates instead of 9W)
+    with_gaps = opt.max_gapo > 0
+    n_steps = Lmax + (opt.max_gapo + opt.max_gape if with_gaps else 0)
     seed_start = lens - opt.seed_len  # in_seed iff i > seed_start
 
     def step(carry, _):
@@ -145,10 +148,7 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
         bidx = jnp.clip(i - 1, 0, Lmax - 1)
         b = jnp.take_along_axis(reads_fwd, bidx, axis=1)       # [B, W]
         in_seed = (i > seed_start[:, None]).astype(I32)
-        consumed = lens[:, None] - i
-        indel_ok = (consumed >= skip) & (i >= skip)
         # D lower bounds for child prefix lengths i (deletions) and i-1 (the rest)
-        lb_i = jnp.take_along_axis(Dshift, jnp.clip(i, 0, Lmax), axis=1)
         lb_im1 = jnp.take_along_axis(Dshift, jnp.clip(i - 1, 0, Lmax), axis=1)
 
         # one fused occ pass for all 4 bases at both interval ends
@@ -157,19 +157,11 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
         l4 = l4.reshape(B, W, 4)
         nonempty = k4 <= l4
 
-        open_ = st == M_
-        gap_cost = jnp.where(open_, s_gapo, s_gape)
-        d_gapo, d_gape = open_.astype(I32), (~open_).astype(I32)
-        ins_ok = indel_ok & ((open_ & (ngapo < opt.max_gapo))
-                             | ((st == I_) & (ngape < opt.max_gape)))
-        del_ok = indel_ok & ((open_ & (ngapo < opt.max_gapo))
-                             | ((st == D_) & (ngape < opt.max_gape)))
+        ks, ls, metas, scores, valids = [], [], [], [], []
 
-        ks, ls, metas, scores, valids, hitables = [], [], [], [], [], []
-
-        def add(valid, kk, ll, mm, sc, hitable):
+        def add(valid, kk, ll, mm, sc):
             ks.append(kk); ls.append(ll); metas.append(mm)
-            scores.append(sc); valids.append(valid); hitables.append(hitable)
+            scores.append(sc); valids.append(valid)
 
         # 4 match/mismatch children (consume a read base)
         for a in range(4):
@@ -182,26 +174,38 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
                   & (child_ndiff + lb_im1 <= max_diff[:, None])
                   & (seed_mm + seed_add <= opt.max_seed_diff))
             add(ok, k4[:, :, a], l4[:, :, a], child_meta,
-                score + ismm * s_mm, True)
+                score + ismm * s_mm)
 
-        # insertion child (consume a read base, interval unchanged)
-        child_meta = _pack(i - 1, nmm, ngapo + d_gapo, ngape + d_gape,
-                           seed_mm + in_seed, jnp.full_like(i, I_))
-        ok = (expand & ins_ok
-              & (ndiff + 1 + lb_im1 <= max_diff[:, None])
-              & (seed_mm + in_seed <= opt.max_seed_diff))
-        add(ok, k, l, child_meta, score + gap_cost, True)
+        if with_gaps:
+            consumed = lens[:, None] - i
+            indel_ok = (consumed >= skip) & (i >= skip)
+            lb_i = jnp.take_along_axis(Dshift, jnp.clip(i, 0, Lmax), axis=1)
+            open_ = st == M_
+            gap_cost = jnp.where(open_, s_gapo, s_gape)
+            d_gapo, d_gape = open_.astype(I32), (~open_).astype(I32)
+            ins_ok = indel_ok & ((open_ & (ngapo < opt.max_gapo))
+                                 | ((st == I_) & (ngape < opt.max_gape)))
+            del_ok = indel_ok & ((open_ & (ngapo < opt.max_gapo))
+                                 | ((st == D_) & (ngape < opt.max_gape)))
 
-        # 4 deletion children (consume a genome base, i unchanged)
-        for a in range(4):
-            child_meta = _pack(i, nmm, ngapo + d_gapo, ngape + d_gape,
-                               seed_mm + in_seed, jnp.full_like(i, D_))
-            ok = (expand & del_ok & nonempty[:, :, a]
-                  & (ndiff + 1 + lb_i <= max_diff[:, None])
+            # insertion child (consume a read base, interval unchanged)
+            child_meta = _pack(i - 1, nmm, ngapo + d_gapo, ngape + d_gape,
+                               seed_mm + in_seed, jnp.full_like(i, I_))
+            ok = (expand & ins_ok
+                  & (ndiff + 1 + lb_im1 <= max_diff[:, None])
                   & (seed_mm + in_seed <= opt.max_seed_diff))
-            add(ok, k4[:, :, a], l4[:, :, a], child_meta, score + gap_cost, False)
+            add(ok, k, l, child_meta, score + gap_cost)
 
-        kc = jnp.concatenate(ks, axis=1)          # [B, 9W]
+            # 4 deletion children (consume a genome base, i unchanged)
+            for a in range(4):
+                child_meta = _pack(i, nmm, ngapo + d_gapo, ngape + d_gape,
+                                   seed_mm + in_seed, jnp.full_like(i, D_))
+                ok = (expand & del_ok & nonempty[:, :, a]
+                      & (ndiff + 1 + lb_i <= max_diff[:, None])
+                      & (seed_mm + in_seed <= opt.max_seed_diff))
+                add(ok, k4[:, :, a], l4[:, :, a], child_meta, score + gap_cost)
+
+        kc = jnp.concatenate(ks, axis=1)          # [B, 9W] (4W when no gaps)
         lc = jnp.concatenate(ls, axis=1)
         metac = jnp.concatenate(metas, axis=1)
         scorec = jnp.concatenate(scores, axis=1)
@@ -221,7 +225,8 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
         ldrop = ldrop + jnp.maximum(n_valid - W, 0)
 
         # --- hit-buffer merge, only when some candidate completed ---
-        HC = 5 * W  # only read-consuming children (first 5 groups) can complete
+        # only read-consuming children (match/mismatch + insertion) can complete
+        HC = (5 if with_gaps else 4) * W
 
         def do_merge(args):
             hits, hitsv, hitss, hdrop = args
