@@ -169,28 +169,86 @@ def cmd_samse(argv):
         out.close()
 
 
+def _manifest_path(out):
+    return out + ".manifest.json"
+
+
+def _load_manifest(out, args_key):
+    """Completed-batch count if a matching resume manifest exists, else 0.
+
+    Batch-granular restart (SURVEY.md §5 failure-recovery row): the input
+    stream is resumable by read ordinal, so a crashed run resumes at the
+    first incomplete batch.
+    """
+    import json, os
+    if not out or not os.path.exists(_manifest_path(out)):
+        return 0
+    try:
+        with open(_manifest_path(out)) as fh:
+            m = json.load(fh)
+        if m.get("args_key") == args_key:
+            return int(m.get("completed_reads", 0))
+    except Exception:
+        pass
+    return 0
+
+
+def _save_manifest(out, args_key, completed_reads, total):
+    import json
+    if not out:
+        return
+    with open(_manifest_path(out), "w") as fh:
+        json.dump(dict(args_key=args_key, completed_reads=completed_reads,
+                       total_reads=total), fh)
+
+
 def cmd_align(argv):
     p = argparse.ArgumentParser(prog="hsa-tpu align")
     p.add_argument("prefix")
     p.add_argument("reads")
     p.add_argument("-f", "--out", default=None)
     p.add_argument("--n-multi", type=int, default=3)
+    p.add_argument("--metrics", default=None, help="write run metrics JSON here")
+    p.add_argument("--resume", action="store_true",
+                   help="resume an interrupted run from its .manifest.json")
     _add_search_opts(p)
     a = p.parse_args(argv)
     from .pipeline import Aligner
     from .io.sam import sam_header
-    al = Aligner(a.prefix, _opt_from_args(a))
-    names, reads, quals = _load_reads(a.reads)
-    out = open(a.out, "w") if a.out else sys.stdout
-    out.write(sam_header(al.meta, "align"))
+    from .metrics import RunMetrics
+    met = RunMetrics()
+    met.config = dict(cmd="align", reads=a.reads, batch=a.batch,
+                      beam_width=a.beam_width, opt=_opt_from_args(a).to_dict())
+    with met.timer("index_load"):
+        al = Aligner(a.prefix, _opt_from_args(a))
+    with met.timer("read_load"):
+        names, reads, quals = _load_reads(a.reads)
+    args_key = f"align|{a.reads}|{a.batch}|{a.beam_width}|{a.n}|{len(reads)}"
+    done = _load_manifest(a.out, args_key) if a.resume else 0
+    mode = "a" if (a.resume and done) else "w"
+    out = open(a.out, mode) if a.out else sys.stdout
+    if not done:
+        out.write(sam_header(al.meta, "align"))
+    if done:
+        met.log(f"resuming at read {done}/{len(reads)}")
     for s, bn, br, bq in _iter_batches(names, reads, quals, a.batch):
-        recs = al.align(br, bn, bq, read_offset=s, beam_width=a.beam_width,
-                        sopt=SamseOpt(n_multi=a.n_multi))
-        for r in recs:
-            out.write(r.to_sam() + "\n")
-        print(f"[hsa-tpu align] {s + len(br)}/{len(reads)} reads", file=sys.stderr)
+        if s + len(br) <= done:
+            continue
+        with met.timer("align"):
+            recs = al.align(br, bn, bq, read_offset=s, beam_width=a.beam_width,
+                            sopt=SamseOpt(n_multi=a.n_multi))
+        met.note_batch(len(br), recs, al.last_overflow)
+        with met.timer("write"):
+            for r in recs:
+                out.write(r.to_sam() + "\n")
+            out.flush()
+        _save_manifest(a.out, args_key, s + len(br), len(reads))
+        met.log(f"align {s + len(br)}/{len(reads)} reads")
     if a.out:
         out.close()
+    s = met.dump(a.metrics)
+    met.log(f"done: {s.get('reads_mapped', 0)}/{s.get('reads_in', 0)} mapped, "
+            f"{s.get('beam_overflow_reads', 0)} overflow reads")
 
 
 def cmd_sampe(argv):

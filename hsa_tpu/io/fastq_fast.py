@@ -1,0 +1,125 @@
+"""Native batched FASTQ reader: mmap + C parser -> engine batch arrays.
+
+Production input path (SURVEY.md §2 "C++ reader lib feeding host batches"):
+the C side parses records straight into the search engine's [B, Lmax]
+uint8 layout (PAD=5 beyond each read), so no per-read Python objects are
+created; names/quals stay as byte ranges into the mmap and materialize
+lazily.  Gzipped input falls back to decompress-to-memory.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import gzip
+import mmap
+import os
+
+import numpy as np
+
+from .. import refpack
+
+
+class FastqBatcher:
+    """Iterate (names, codes uint8[B, max_len], lens int32[B], quals) batches."""
+
+    def __init__(self, path: str, batch: int = 4096, max_len: int = 512):
+        self.batch = batch
+        self.max_len = max_len
+        self._fh = None
+        if str(path).endswith(".gz"):
+            with gzip.open(path, "rb") as fh:
+                self._buf = fh.read()
+        else:
+            self._fh = open(path, "rb")
+            if os.fstat(self._fh.fileno()).st_size == 0:
+                self._buf = b""
+            else:
+                self._buf = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        self._pos = np.zeros(1, dtype=np.int64)
+        self._lib = refpack._load()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        buf = self._buf
+        if self._pos[0] >= len(buf):
+            self.close()
+            raise StopIteration
+        B, L = self.batch, self.max_len
+        codes = np.empty((B, L), np.uint8)
+        lens = np.empty(B, np.int32)
+        name_off = np.empty(B, np.int64)
+        name_len = np.empty(B, np.int32)
+        qual_off = np.empty(B, np.int64)
+        qual_len = np.empty(B, np.int32)
+        if self._lib is not None:
+            # zero-copy view over bytes or mmap
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            n = self._lib.rp_fastq_batch(
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(buf), self._pos.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int64)),
+                B, L,
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                name_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                name_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                qual_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                qual_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            if n < 0:
+                raise ValueError("malformed FASTQ input")
+        else:
+            n = self._py_parse(codes, lens, name_off, name_len, qual_off, qual_len)
+        if n == 0:
+            self.close()
+            raise StopIteration
+        names = [bytes(buf[name_off[i]:name_off[i] + name_len[i]]).decode()
+                 for i in range(n)]
+        quals = [bytes(buf[qual_off[i]:qual_off[i] + qual_len[i]]).decode()
+                 for i in range(n)]
+        return names, codes[:n], np.minimum(lens[:n], L), quals
+
+    def _py_parse(self, codes, lens, name_off, name_len, qual_off, qual_len):
+        """Fallback parser (no native lib): same record framing."""
+        from .. import alphabet
+        buf = self._buf
+        pos = int(self._pos[0])
+        n = 0
+        B, L = codes.shape
+        while n < B:
+            nl = buf.find(b"\n", pos)
+            if pos >= len(buf) or nl < 0:
+                break
+            header = buf[pos:nl]
+            if not header.startswith(b"@"):
+                break
+            s_end = buf.find(b"\n", nl + 1)
+            p_end = buf.find(b"\n", s_end + 1) if s_end > 0 else -1
+            if s_end < 0 or p_end < 0:
+                break
+            seq = buf[nl + 1:s_end].strip()
+            q_end = p_end + 1 + len(seq)
+            if q_end > len(buf):
+                break
+            name = header[1:].split()[0]
+            name_off[n] = pos + 1
+            name_len[n] = len(name)
+            qual_off[n] = p_end + 1
+            qual_len[n] = len(seq)
+            enc = alphabet.encode(bytes(seq))
+            Lr = min(len(enc), L)
+            codes[n, :Lr] = enc[:Lr]
+            codes[n, Lr:] = 5
+            lens[n] = len(enc)
+            n += 1
+            pos = q_end + 1
+        self._pos[0] = pos
+        return n
+
+    def close(self):
+        if isinstance(self._buf, mmap.mmap):
+            self._buf.close()
+        if self._fh:
+            self._fh.close()
+            self._fh = None

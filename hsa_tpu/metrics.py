@@ -1,0 +1,67 @@
+"""Run metrics and structured logging (SURVEY.md §5 observability row).
+
+The reference's only observability is stderr progress lines; here every
+pipeline run can emit a structured JSON metrics file: read counts, mapped
+fractions, per-stage wall time, and the beam-overflow counters — the
+parity-risk signal called out in SURVEY.md §7.3.1 (a nonzero overflow on a
+read means its hit set may be incomplete at the configured beam width).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RunMetrics:
+    counters: dict = field(default_factory=lambda: defaultdict(int))
+    timers: dict = field(default_factory=lambda: defaultdict(float))
+    config: dict = field(default_factory=dict)
+    started: float = field(default_factory=time.time)
+
+    def count(self, name: str, n: int = 1):
+        self.counters[name] += int(n)
+
+    @contextmanager
+    def timer(self, name: str):
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            self.timers[name] += time.time() - t0
+
+    def log(self, msg: str):
+        print(f"[hsa-tpu] {msg}", file=sys.stderr)
+
+    def note_batch(self, n_reads: int, records, overflow=None):
+        self.count("reads_in", n_reads)
+        mapped = sum(1 for r in records if not (r.flag & 4))
+        self.count("records_out", len(records))
+        self.count("reads_mapped", mapped)
+        if overflow is not None:
+            live_drop, hit_drop = overflow
+            self.count("beam_overflow_reads", int((live_drop > 0).sum()))
+            self.count("beam_overflow_states", int(live_drop.sum()))
+            self.count("hitbuf_overflow_reads", int((hit_drop > 0).sum()))
+
+    def summary(self) -> dict:
+        out = dict(self.counters)
+        out.update({f"t_{k}_s": round(v, 3) for k, v in self.timers.items()})
+        out["wall_s"] = round(time.time() - self.started, 3)
+        if out.get("reads_in"):
+            out["mapped_frac"] = round(out.get("reads_mapped", 0)
+                                       / out["reads_in"], 4)
+        out["config"] = self.config
+        return out
+
+    def dump(self, path: str | None):
+        s = self.summary()
+        if path:
+            with open(path, "w") as fh:
+                json.dump(s, fh, indent=1)
+        return s

@@ -51,6 +51,11 @@ def _load():
     lib.rp_pack_2bit.restype = ctypes.c_int
     lib.rp_unpack_2bit.argtypes = [u8p, ctypes.c_int64, u8p]
     lib.rp_unpack_2bit.restype = ctypes.c_int
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.rp_fastq_batch.argtypes = [u8p, ctypes.c_int64, i64p,
+                                   ctypes.c_int32, ctypes.c_int32,
+                                   u8p, i32p, i64p, i32p, i64p, i32p]
+    lib.rp_fastq_batch.restype = ctypes.c_int
     _lib = lib
     return _lib
 

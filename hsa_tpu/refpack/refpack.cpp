@@ -96,3 +96,87 @@ int rp_unpack_2bit(const uint8_t* packed, int64_t n, uint8_t* codes_out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FASTQ batch reader (lineage: kseq.h + bwaseqio.c roles).
+// Parses records out of an in-memory (typically mmap'd) buffer directly into
+// the search engine's batch layout: codes [max_reads x max_len] filled with
+// PAD=5, plus name/qual byte ranges into the buffer (zero-copy for Python).
+// ---------------------------------------------------------------------------
+
+namespace {
+struct CodeTable {
+  uint8_t t[256];
+  CodeTable() {
+    for (int i = 0; i < 256; ++i) t[i] = 4;
+    t['A'] = t['a'] = 0;
+    t['C'] = t['c'] = 1;
+    t['G'] = t['g'] = 2;
+    t['T'] = t['t'] = 3;
+  }
+};
+const CodeTable kCodes;
+
+inline const char* find_nl(const char* p, const char* end) {
+  while (p < end && *p != '\n') ++p;
+  return p;
+}
+}  // namespace
+
+extern "C" {
+
+// Returns #reads parsed (>=0) or -1 on malformed input. *pos_io advances to
+// the first unconsumed byte. Over-long reads are truncated to max_len (true
+// length still reported in lens_out, capped at 1<<20).
+int rp_fastq_batch(const char* buf, int64_t buflen, int64_t* pos_io,
+                   int32_t max_reads, int32_t max_len,
+                   uint8_t* codes_out, int32_t* lens_out,
+                   int64_t* name_off, int32_t* name_len,
+                   int64_t* qual_off, int32_t* qual_len) {
+  const char* base = buf;
+  const char* p = buf + *pos_io;
+  const char* end = buf + buflen;
+  int n = 0;
+  while (n < max_reads) {
+    const char* rec_start = p;
+    while (p < end && (*p == '\n' || *p == '\r')) ++p;
+    if (p >= end) break;
+    if (*p != '@') return -1;
+    const char* h = p + 1;
+    const char* he = find_nl(h, end);
+    if (he >= end) { p = rec_start; break; }  // incomplete record: stop
+    const char* hs_end = h;
+    while (hs_end < he && *hs_end != ' ' && *hs_end != '\t' && *hs_end != '\r')
+      ++hs_end;
+    const char* s = he + 1;
+    const char* se = find_nl(s, end);
+    if (se >= end) { p = rec_start; break; }
+    const char* plus = se + 1;
+    if (plus >= end || *plus != '+') { p = rec_start; break; }
+    const char* pe = find_nl(plus, end);
+    if (pe >= end) { p = rec_start; break; }
+    const char* q = pe + 1;
+    int64_t slen = se - s;
+    if (slen > 0 && s[slen - 1] == '\r') --slen;
+    if (q + slen > end) { p = rec_start; break; }
+    const char* qe = q + slen;
+
+    name_off[n] = h - base;
+    name_len[n] = (int32_t)(hs_end - h);
+    qual_off[n] = q - base;
+    qual_len[n] = (int32_t)slen;
+    int32_t L = (int32_t)(slen < max_len ? slen : max_len);
+    uint8_t* row = codes_out + (int64_t)n * max_len;
+    for (int32_t i = 0; i < L; ++i) row[i] = kCodes.t[(uint8_t)s[i]];
+    for (int32_t i = L; i < max_len; ++i) row[i] = 5;  // PAD
+    lens_out[n] = (int32_t)(slen < (1 << 20) ? slen : (1 << 20));
+    ++n;
+    p = qe;
+    if (p < end && *p == '\r') ++p;
+    if (p < end && *p == '\n') ++p;
+  }
+  *pos_io = p - base;
+  return n;
+}
+
+}  // extern "C"
