@@ -32,6 +32,8 @@ def _add_search_opts(p):
     p.add_argument("-M", dest="s_mm", type=int, default=3, help="mismatch penalty")
     p.add_argument("-O", dest="s_gapo", type=int, default=11, help="gap open penalty")
     p.add_argument("-E", dest="s_gape", type=int, default=4, help="gap extension penalty")
+    p.add_argument("-q", dest="trim_qual", type=int, default=0,
+                   help="3' quality trimming threshold (0 = off)")
     p.add_argument("-W", dest="beam_width", type=int, default=None,
                    help="beam width (frontier capacity per read)")
     p.add_argument("--batch", type=int, default=2048, help="reads per device batch")
@@ -40,7 +42,7 @@ def _add_search_opts(p):
 def _opt_from_args(a) -> AlnOpt:
     opt = AlnOpt(max_gapo=a.max_gapo, max_gape=a.max_gape, seed_len=a.seed_len,
                  max_seed_diff=a.max_seed_diff, s_mm=a.s_mm, s_gapo=a.s_gapo,
-                 s_gape=a.s_gape)
+                 s_gape=a.s_gape, trim_qual=getattr(a, "trim_qual", 0))
     if a.n is not None:
         try:
             opt.max_diff = int(a.n)
@@ -48,6 +50,18 @@ def _opt_from_args(a) -> AlnOpt:
             opt.max_diff = -1
             opt.fnr = float(a.n)
     return opt
+
+
+def _apply_trim(reads, quals, trim_qual):
+    if trim_qual < 1:
+        return reads, quals
+    from .io.fastx import trim_read_length
+    out_r, out_q = [], []
+    for r, q in zip(reads, quals):
+        L = trim_read_length(q, trim_qual)
+        out_r.append(r[:L])
+        out_q.append(q[:L] if q and q != "*" else q)
+    return out_r, out_q
 
 
 def _load_reads(path, limit=None):
@@ -223,6 +237,7 @@ def cmd_align(argv):
         al = Aligner(a.prefix, _opt_from_args(a))
     with met.timer("read_load"):
         names, reads, quals = _load_reads(a.reads)
+        reads, quals = _apply_trim(reads, quals, getattr(a, "trim_qual", 0))
     args_key = f"align|{a.reads}|{a.batch}|{a.beam_width}|{a.n}|{len(reads)}"
     done = _load_manifest(a.out, args_key) if a.resume else 0
     mode = "a" if (a.resume and done) else "w"

@@ -108,3 +108,26 @@ def load_reference(path: str, seed: int = 11):
     meta = RefMeta(names=names, starts=np.asarray(starts, np.int64),
                    lengths=np.asarray(lengths, np.int64), amb_runs=amb, total=off)
     return clean, meta
+
+
+def trim_read_length(qual: str, trim_qual: int, offset: int = 33) -> int:
+    """3'-end quality trim length (lineage: ``bwaseqio.c:bwa_trim_read``).
+
+    Scans from the 3' end accumulating (trim_qual - q); the kept length is
+    the position maximizing the running sum (at least 1 base is kept, as in
+    the lineage). trim_qual < 1 disables trimming.
+    """
+    L = len(qual)
+    if trim_qual < 1 or not qual or qual == "*":
+        return L
+    s = 0
+    max_s = 0
+    trim_len = L
+    for i in range(L - 1, 0, -1):
+        s += trim_qual - (ord(qual[i]) - offset)
+        if s < 0:
+            break
+        if s > max_s:
+            max_s = s
+            trim_len = i
+    return trim_len

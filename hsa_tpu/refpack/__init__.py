@@ -42,6 +42,8 @@ def _load():
     lib.rp_version.restype = ctypes.c_int
     lib.rp_suffix_array64.argtypes = [u8p, ctypes.c_int64, i64p]
     lib.rp_suffix_array64.restype = ctypes.c_int
+    lib.rp_suffix_array64_force.argtypes = [u8p, ctypes.c_int64, i64p]
+    lib.rp_suffix_array64_force.restype = ctypes.c_int
     lib.rp_bwt_from_sa.argtypes = [u8p, i64p, ctypes.c_int64, u8p, i64p]
     lib.rp_bwt_from_sa.restype = ctypes.c_int
     lib.rp_build.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
@@ -83,6 +85,18 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
     rc = lib.rp_suffix_array64(_u8(t), len(t), _i64(sa))
     if rc != 0:
         raise RuntimeError(f"rp_suffix_array64 failed: {rc}")
+    return sa
+
+
+def suffix_array_force64(text: np.ndarray) -> np.ndarray:
+    """Test hook: int64 SA-IS instantiation regardless of size."""
+    lib = _load()
+    assert lib is not None
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    sa = np.empty(len(t) + 1, dtype=np.int64)
+    rc = lib.rp_suffix_array64_force(_u8(t), len(t), _i64(sa))
+    if rc != 0:
+        raise RuntimeError(f"rp_suffix_array64_force failed: {rc}")
     return sa
 
 

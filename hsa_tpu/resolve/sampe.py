@@ -261,6 +261,7 @@ def resolve_batch_pe(text, meta, reads1, reads2, names, quals1, quals2,
             rec = _make_record(text, meta, read, name, qual, o, mapq, opt)
             rec.flag = flag  # replaces _make_record's 0/16 (strand folded in)
             if occ and not was_rescued:
+                rec.tags["XT"] = "U" if c1 == 1 else "R"
                 rec.tags["X0"] = c1
                 if not trunc:
                     rec.tags["X1"] = c2

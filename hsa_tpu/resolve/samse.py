@@ -44,7 +44,7 @@ class AlnRecord:
     tags: dict = field(default_factory=dict)
 
     def to_sam(self) -> str:
-        tag_order = ["X0", "X1", "XN", "XM", "XO", "XG", "NM", "MD", "XA"]
+        tag_order = ["XT", "X0", "X1", "XN", "XM", "XO", "XG", "NM", "MD", "XA"]
         tags = []
         for t in tag_order:
             if t in self.tags:
@@ -145,6 +145,7 @@ def resolve_batch_se(text, meta, reads, names, quals, hits_fwd, hits_rc,
         mapq = approx_mapq(c1, c2, pick.nmm, max_diff)
 
         rec = _make_record(text, meta, read, name, qual, pick, mapq, opt)
+        rec.tags["XT"] = "U" if c1 == 1 else "R"
         rec.tags["X0"] = c1
         if not truncated[j]:
             rec.tags["X1"] = c2

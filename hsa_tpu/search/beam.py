@@ -116,8 +116,14 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
     s_mm, s_gapo, s_gape = opt.s_mm, opt.s_gapo, opt.s_gape
     skip = opt.indel_end_skip
 
-    # Dshift[b, j] = D[b, j-1], Dshift[b, 0] = 0  (lower bound for prefix len j)
+    # Dshift[b, j] = D[b, j-1], Dshift[b, 0] = 0  (lower bound for prefix len j).
+    # The per-state step needs read[i-1], Dshift[i-1], Dshift[i]; pack all
+    # three into one word indexed by j = i-1 so the step does ONE gather:
+    #   combo[j] = read[j] | min(Dshift[j],31)<<3 | min(Dshift[j+1],31)<<8
+    # (D clamps at 31: budgets are <= 15, so the pruning test is unchanged)
     Dshift = jnp.concatenate([jnp.zeros((B, 1), I32), D.astype(I32)], axis=1)
+    Dc = jnp.minimum(Dshift, 31)
+    combo = (reads_fwd | (Dc[:, :Lmax] << 3) | (Dc[:, 1:Lmax + 1] << 8))
 
     # frontier: packed [B, W, 3] (k, l, meta) + score + live
     f0 = jnp.zeros((B, W, 3), U32)
@@ -146,10 +152,10 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
         ndiff = nmm + ngapo + ngape
         expand = live & (i > 0)
         bidx = jnp.clip(i - 1, 0, Lmax - 1)
-        b = jnp.take_along_axis(reads_fwd, bidx, axis=1)       # [B, W]
+        cw = jnp.take_along_axis(combo, bidx, axis=1)          # [B, W]
+        b = cw & 7
+        lb_im1 = (cw >> 3) & 31   # Dshift[i-1]: bound for the i-1 children
         in_seed = (i > seed_start[:, None]).astype(I32)
-        # D lower bounds for child prefix lengths i (deletions) and i-1 (the rest)
-        lb_im1 = jnp.take_along_axis(Dshift, jnp.clip(i - 1, 0, Lmax), axis=1)
 
         # one fused occ pass for all 4 bases at both interval ends
         k4, l4 = fm.extend4(idx, k.reshape(-1), l.reshape(-1))
@@ -179,7 +185,7 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
         if with_gaps:
             consumed = lens[:, None] - i
             indel_ok = (consumed >= skip) & (i >= skip)
-            lb_i = jnp.take_along_axis(Dshift, jnp.clip(i, 0, Lmax), axis=1)
+            lb_i = (cw >> 8) & 31  # Dshift[i]: bound for deletion children
             open_ = st == M_
             gap_cost = jnp.where(open_, s_gapo, s_gape)
             d_gapo, d_gape = open_.astype(I32), (~open_).astype(I32)

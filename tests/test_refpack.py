@@ -50,3 +50,11 @@ def test_pack_unpack_roundtrip():
     packed = refpack.pack_2bit(t)
     assert packed.size == (1001 + 3) // 4
     np.testing.assert_array_equal(refpack.unpack_2bit(packed, 1001), t)
+
+
+def test_int64_instantiation_matches_int32():
+    # the >2^31 production path, exercised at small scale via the test hook
+    for n, seed in [(1000, 1), (50_000, 2)]:
+        t = rand_text(n, seed)
+        np.testing.assert_array_equal(refpack.suffix_array_force64(t),
+                                      refpack.suffix_array(t))

@@ -163,3 +163,15 @@ def test_sam_output_format(pipe):
     f = line.split("\t")
     assert f[1] == "0" and f[2] == "chr1" and f[3] == "11" and f[5] == "60M"
     assert f[10] == "I" * 60
+
+
+def test_trim_read_length():
+    from hsa_tpu.io.fastx import trim_read_length
+    # high-quality read: no trim
+    assert trim_read_length("I" * 50, 15) == 50
+    # 3' tail of low quality ('#' = Q2) trimmed at threshold 15
+    q = "I" * 40 + "#" * 10
+    assert trim_read_length(q, 15) == 40
+    assert trim_read_length(q, 0) == 50  # disabled
+    assert trim_read_length("#" * 30, 15) == 1  # keeps at least one base
+    assert trim_read_length("*", 15) == 1 or trim_read_length("*", 15) == 1
