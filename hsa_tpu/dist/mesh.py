@@ -74,16 +74,24 @@ class ShardedIndex:
         sh2 = NamedSharding(mesh, P("shard", None))
         sh1 = NamedSharding(mesh, P("shard"))
         rep = NamedSharding(mesh, P())
-        self.occ_blocks = jax.device_put(occ, sh2)
+
+        def put(arr, sh):
+            # make_array_from_callback works in both single-controller and
+            # multi-process (each process materializes only its addressable
+            # shards; every process holds the same host array)
+            return jax.make_array_from_callback(arr.shape, sh,
+                                                lambda idx: arr[idx])
+
+        self.occ_blocks = put(occ, sh2)
         # superblock tables are tiny (16 B / 32 Ksym) — replicated
-        self.occ_super = jax.device_put(di.occ_super, rep)
-        self.mark_blocks = jax.device_put(mark, sh2)
-        self.samples = jax.device_put(samples, sh1)
-        self.C = jax.device_put(di.C, rep)
+        self.occ_super = put(di.occ_super, rep)
+        self.mark_blocks = put(mark, sh2)
+        self.samples = put(samples, sh1)
+        self.C = put(di.C, rep)
         if di.rev_occ_blocks is not None:
             rocc = _pad_rows(di.rev_occ_blocks, ns)
-            self.rev_occ_blocks = jax.device_put(rocc, sh2)
-            self.rev_occ_super = jax.device_put(di.rev_occ_super, rep)
+            self.rev_occ_blocks = put(rocc, sh2)
+            self.rev_occ_super = put(di.rev_occ_super, rep)
         else:
             self.rev_occ_blocks = None
             self.rev_occ_super = None

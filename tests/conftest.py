@@ -35,3 +35,7 @@ assert jax.device_count() == 8, f"expected 8 virtual CPU devices, got {jax.devic
 
 # make the repo root importable regardless of pytest rootdir
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running (multi-process) tests")
