@@ -146,13 +146,14 @@ def extend(idx, a, k, l, *, rev: bool = False):
 def extend4(idx, k, l):
     """All-bases extension: ([B,4] k', [B,4] l') — the ``bwt_2occ4`` analog.
 
-    Both interval ends go through ONE occ pass (gather throughput improves
-    with query count on TPU; measured ~15% at these sizes).
+    Two separate occ passes: fusing the ends into one concatenated query
+    batch was measured ~10% SLOWER end-to-end (the concat/split outweighs
+    the gather-efficiency gain at these sizes).
     """
-    B = k.shape[0]
-    o = occ_lt4(idx, jnp.concatenate([k, l + U32(1)]))
+    o_k = occ_lt4(idx, k)
+    o_l = occ_lt4(idx, l + U32(1))
     C4 = idx.C[None, 0:4]
-    return C4 + o[:B], C4 + o[B:] - U32(1)
+    return C4 + o_k, C4 + o_l - U32(1)
 
 
 def bwt_char(idx, r):
