@@ -27,6 +27,9 @@ GENOME_MBP = int(os.environ.get("HSA_BENCH_GENOME_MBP", "64"))
 BATCH = int(os.environ.get("HSA_BENCH_BATCH", "8192"))
 READ_LEN = 100
 BEAM_W = int(os.environ.get("HSA_BENCH_BEAM_W", "64"))
+# adaptive escalation ladder (same output quality as flat BEAM_W: reads
+# that overflow a narrow beam re-run wider; "" disables)
+LADDER = tuple(int(x) for x in os.environ.get("HSA_BENCH_LADDER", "8,64").split(",") if x)
 MAX_HITS = 16
 ITERS = int(os.environ.get("HSA_BENCH_ITERS", "4"))
 BASELINE_READS_PER_S = 2000.0
@@ -83,24 +86,28 @@ def main():
     md = jnp.full(BATCH, 2, jnp.int32)
     fwd_j, lens_j = jnp.asarray(fwd), jnp.asarray(lens)
 
-    @jax.jit
-    def aln_step(reads_fwd, lens, max_diff):
-        D = cal_width_device(dev, reads_fwd, lens)
-        res = beam_search(dev, reads_fwd, lens, D, max_diff, opt,
-                          beam_width=BEAM_W, max_hits=MAX_HITS)
-        ranks = jnp.where(res.hit_valid[:, 0], res.hit_k[:, 0], 0).astype(jnp.uint32)
-        pos = fm.locate(dev, ranks)
-        return res.best_score, pos, res.hit_valid.any(axis=1)
+    from hsa_tpu.search.adaptive import AdaptiveBeam
+    adaptive = AdaptiveBeam(dev, opt, ladder=LADDER or (BEAM_W,),
+                            max_hits=MAX_HITS, esc_batch=2048)
+    width_f = jax.jit(lambda rf, ln: cal_width_device(dev, rf, ln))
+    locate_f = jax.jit(lambda r: fm.locate(dev, r))
 
+    def aln_step(reads_fwd, lens, max_diff):
+        D = width_f(reads_fwd, lens)
+        res = adaptive(reads_fwd, lens, np.asarray(D), max_diff)
+        ranks = jnp.where(jnp.asarray(res.hit_valid[:, 0]),
+                          jnp.asarray(res.hit_k[:, 0]), 0).astype(jnp.uint32)
+        pos = locate_f(ranks)
+        return res.best_score, np.asarray(pos), res.hit_valid.any(axis=1)
+
+    md_np = np.asarray(md)
     t0 = time.time()
-    out = aln_step(fwd_j, lens_j, md)
-    jax.block_until_ready(out)
+    out = aln_step(fwd_j, lens_j, md_np)
     compile_s = time.time() - t0
 
     t0 = time.time()
     for _ in range(ITERS):
-        out = aln_step(fwd_j, lens_j, md)
-    jax.block_until_ready(out)
+        out = aln_step(fwd_j, lens_j, md_np)
     dt = (time.time() - t0) / ITERS
     reads_per_s = BATCH / dt
 
@@ -113,6 +120,7 @@ def main():
         "genome_mbp": GENOME_MBP,
         "batch": BATCH,
         "beam_width": BEAM_W,
+        "ladder": list(LADDER),
         "mapped_frac": round(mapped, 4),
         "batch_ms": round(dt * 1e3, 1),
         "compile_s": round(compile_s, 1),

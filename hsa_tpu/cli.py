@@ -36,6 +36,8 @@ def _add_search_opts(p):
                    help="3' quality trimming threshold (0 = off)")
     p.add_argument("-W", dest="beam_width", type=int, default=None,
                    help="beam width (frontier capacity per read)")
+    p.add_argument("--ladder", default=None,
+                   help="adaptive beam widths, e.g. 8,64 (overrides -W)")
     p.add_argument("--batch", type=int, default=2048, help="reads per device batch")
 
 
@@ -233,8 +235,9 @@ def cmd_align(argv):
     met = RunMetrics()
     met.config = dict(cmd="align", reads=a.reads, batch=a.batch,
                       beam_width=a.beam_width, opt=_opt_from_args(a).to_dict())
+    ladder = tuple(int(x) for x in a.ladder.split(",")) if a.ladder else None
     with met.timer("index_load"):
-        al = Aligner(a.prefix, _opt_from_args(a))
+        al = Aligner(a.prefix, _opt_from_args(a), ladder=ladder)
     with met.timer("read_load"):
         names, reads, quals = _load_reads(a.reads)
         reads, quals = _apply_trim(reads, quals, getattr(a, "trim_qual", 0))

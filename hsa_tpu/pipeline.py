@@ -43,10 +43,12 @@ def build_index(fasta_path: str, prefix: str, sa_intv: int = 32) -> str:
 class Aligner:
     """Loads index artifacts and aligns read batches."""
 
-    def __init__(self, index_dir: str, opt: AlnOpt | None = None):
+    def __init__(self, index_dir: str, opt: AlnOpt | None = None,
+                 ladder=None):
         if not os.path.isdir(index_dir) and os.path.isdir(index_dir + ".hsa"):
             index_dir = index_dir + ".hsa"
         self.opt = opt or AlnOpt()
+        self.ladder = ladder
         self.di = DeviceIndex.load(os.path.join(index_dir, "index.npz"))
         with open(os.path.join(index_dir, "meta.json")) as fh:
             m = json.load(fh)
@@ -58,12 +60,17 @@ class Aligner:
         self.dev = self.di.as_jax()
 
     # -- search ------------------------------------------------------------
-    def search_batch(self, reads, beam_width=None, max_hits=32):
-        """Both-strand beam search: returns (hits_fwd, hits_rc) per read."""
+    def search_batch(self, reads, beam_width=None, max_hits=32, ladder=None):
+        """Both-strand beam search: returns (hits_fwd, hits_rc) per read.
+
+        ``ladder``: adaptive beam escalation widths (see search.adaptive);
+        overrides beam_width when given.
+        """
         from .search.beam import align_batch
         rc = [alphabet.revcomp(r) for r in reads]
         hits_all, res = align_batch(self.dev, list(reads) + rc, self.opt,
-                                    beam_width=beam_width, max_hits=max_hits)
+                                    beam_width=beam_width, max_hits=max_hits,
+                                    ladder=ladder or self.ladder)
         B = len(reads)
         self.last_overflow = (np.asarray(res.n_live_dropped),
                               np.asarray(res.n_hits_dropped))

@@ -183,23 +183,20 @@ def resolve_batch_pe(text, meta, reads1, reads2, names, quals1, quals2,
     mean, std, n_used = infer_isize(list(zip(w1, w2)), lens1, lens2,
                                     peopt.max_isize)
 
-    records = []
+    # ---- phase A: pairing decisions; defer rescues into a batch ----------
+    choices = []       # per pair: [o1, o2, proper]
+    jobs = []          # (pair_idx, missing_end, anchor, read, L)
+    rlim = int((mean + 4 * std) if mean is not None else peopt.max_isize)
     for j in range(B):
         r1, r2 = reads1[j], reads2[j]
         L1, L2 = lens1[j], lens2[j]
-        name = names[j]
-        q1 = quals1[j] if quals1 else "*"
-        q2 = quals2[j] if quals2 else "*"
         o1 = o2 = None
         proper = False
-        rescued = [False, False]
-
         pair = _best_pair(w1[j], w2[j], L1, L2, mean, std, peopt.max_isize)
         if pair is not None:
             _, o1, o2, _ = pair
             proper = True
         else:
-            # independent choices (samse rule)
             for occ, sel in ((occs1[j], 1), (occs2[j], 2)):
                 if occ:
                     bests = [o for o in occ if o.score == occ[0].score]
@@ -208,20 +205,35 @@ def resolve_batch_pe(text, meta, reads1, reads2, names, quals1, quals2,
                         o1 = pick
                     else:
                         o2 = pick
-            # mate rescue when exactly one end is placed
             if peopt.is_sw and (o1 is None) != (o2 is None):
                 anchor, missing, Lm, rm = ((o1, 2, L2, r2) if o2 is None
                                            else (o2, 1, L1, r1))
-                rlim = int((mean + 4 * std) if mean is not None else peopt.max_isize)
-                res = _rescue(text, anchor, rm, Lm, rlim, opt)
-                if res is not None:
-                    if missing == 1:
-                        o1 = res
-                        rescued[0] = True
-                    else:
-                        o2 = res
-                        rescued[1] = True
-                    proper = True
+                jobs.append((j, missing, anchor, rm, Lm))
+        choices.append([o1, o2, proper])
+
+    # ---- phase B: batched device rescue screen, host traceback on accepts -
+    rescued_flags = [[False, False] for _ in range(B)]
+    for j, missing, res in _rescue_batch(text, jobs, rlim, opt):
+        if res is None:
+            continue
+        if missing == 1:
+            choices[j][0] = res
+            rescued_flags[j][0] = True
+        else:
+            choices[j][1] = res
+            rescued_flags[j][1] = True
+        choices[j][2] = True
+
+    # ---- phase C: record building ----------------------------------------
+    records = []
+    for j in range(B):
+        r1, r2 = reads1[j], reads2[j]
+        L1, L2 = lens1[j], lens2[j]
+        name = names[j]
+        q1 = quals1[j] if quals1 else "*"
+        q2 = quals2[j] if quals2 else "*"
+        o1, o2, proper = choices[j]
+        rescued = rescued_flags[j]
 
         for endno, (read, L, qual, o, o_mate, L_mate, occ, trunc) in enumerate((
                 (r1, L1, q1, o1, o2, L2, occs1[j], trunc1[j]),
@@ -281,35 +293,72 @@ def resolve_batch_pe(text, meta, reads1, reads2, names, quals1, quals2,
     return records
 
 
-def _rescue(text, anchor: Occurrence, read: np.ndarray, L: int, rlim: int,
-            opt: AlnOpt):
-    """Glocal-align the missing mate near its anchored mate (FR orientation)."""
+def _rescue_window(text, anchor: Occurrence, L: int, rlim: int):
+    """(lo, hi, strand) of the FR-implied rescue window for the missing mate."""
     if anchor.strand == 0:
-        # anchor forward -> mate reverse, downstream: window [pos, pos+rlim)
         lo = anchor.pos
         hi = min(len(text), anchor.pos + max(rlim, L + 8))
-        target = alphabet.revcomp(read)
         strand = 1
     else:
         hi = anchor.pos + L + 8
         lo = max(0, hi - max(rlim, L + 8))
         hi = min(len(text), hi)
-        target = read
         strand = 0
-    window = np.asarray(text[lo:hi])
-    if len(window) < L:
-        return None
-    cost, start, cigar = fit_in_window(target, window, opt.s_mm, opt.s_gapo,
-                                       opt.s_gape)
-    # rescue reaches beyond the search budget by design: accept up to 15% of
-    # the read length in mismatch-equivalents (documented deviation; the
-    # lineage uses a +1/-3 local-SW score threshold of similar stringency)
-    budget = max(opt.diff_budget(L), round(0.15 * L))
-    if start < 0 or cost > budget * opt.s_mm:
-        return None
-    n_ins = sum(ln for op, ln in cigar if op == "I")
-    n_del = sum(ln for op, ln in cigar if op == "D")
-    n_opens = sum(1 for op, ln in cigar if op in ("I", "D"))
-    nm, _ = cigar_stats(cigar, target, window[start:start + L + n_del])
-    return Occurrence(lo + start, strand, cost, nm - n_ins - n_del,
-                      n_opens, max(n_ins + n_del - n_opens, 0))
+    return lo, hi, strand
+
+
+def _rescue_batch(text, jobs, rlim, opt: AlnOpt):
+    """Screen all rescue jobs in one device DP pass; traceback on accepts.
+
+    jobs: [(pair_idx, missing_end, anchor, read, L)].  Yields
+    (pair_idx, missing_end, Occurrence|None).  The screen uses the
+    batched glocal kernel (hsa_tpu.kernels.sw); the acceptance rule and
+    the per-accept host traceback match the single-pair path exactly.
+    """
+    if not jobs:
+        return
+    import jax.numpy as jnp
+    from ..kernels.sw import glocal_screen
+
+    prepped = []
+    for j, missing, anchor, read, L in jobs:
+        lo, hi, strand = _rescue_window(text, anchor, L, rlim)
+        target = alphabet.revcomp(read) if strand == 1 else np.asarray(read)
+        prepped.append((j, missing, lo, hi, strand, target, L))
+    Lmax = max(p[6] for p in prepped)
+    Gmax = max(p[3] - p[2] for p in prepped)
+    R = len(prepped)
+    reads_a = np.zeros((R, Lmax), np.int32)
+    lens_a = np.zeros(R, np.int32)
+    wins_a = np.zeros((R, Gmax), np.int32)
+    wlens_a = np.zeros(R, np.int32)
+    for i, (j, missing, lo, hi, strand, target, L) in enumerate(prepped):
+        reads_a[i, :L] = target
+        lens_a[i] = L
+        wins_a[i, :hi - lo] = np.asarray(text[lo:hi])
+        wlens_a[i] = hi - lo
+    costs, _ends = glocal_screen(jnp.asarray(reads_a), jnp.asarray(lens_a),
+                                 jnp.asarray(wins_a), jnp.asarray(wlens_a),
+                                 opt.s_mm, opt.s_gapo, opt.s_gape)
+    costs = np.asarray(costs)
+    for i, (j, missing, lo, hi, strand, target, L) in enumerate(prepped):
+        if hi - lo < L:
+            yield j, missing, None
+            continue
+        budget = max(opt.diff_budget(L), round(0.15 * L))
+        if costs[i] > budget * opt.s_mm:
+            yield j, missing, None
+            continue
+        window = np.asarray(text[lo:hi])
+        cost, start, cigar = fit_in_window(target, window, opt.s_mm,
+                                           opt.s_gapo, opt.s_gape)
+        if start < 0 or cost > budget * opt.s_mm:
+            yield j, missing, None
+            continue
+        n_ins = sum(ln for op, ln in cigar if op == "I")
+        n_del = sum(ln for op, ln in cigar if op == "D")
+        n_opens = sum(1 for op, ln in cigar if op in ("I", "D"))
+        nm, _ = cigar_stats(cigar, target, window[start:start + L + n_del])
+        yield j, missing, Occurrence(lo + start, strand, cost,
+                                     nm - n_ins - n_del, n_opens,
+                                     max(n_ins + n_del - n_opens, 0))

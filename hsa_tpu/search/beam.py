@@ -260,7 +260,8 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
                       n_live_dropped=ldrop, n_hits_dropped=hdrop)
 
 
-def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None):
+def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None,
+                ladder=None):
     """Host convenience wrapper: list of code arrays -> per-read hit lists.
 
     Returns (hits_per_read, result) where hits_per_read[i] is a list of
@@ -286,8 +287,13 @@ def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None):
         D = cal_width_device(idx, fwd_j, lens_j)
     else:
         D = jnp.zeros((B, Lmax), I32)
-    res = beam_search(idx, fwd_j, lens_j, D, jnp.asarray(md), opt,
-                      beam_width=beam_width, max_hits=max_hits)
+    if ladder:
+        from .adaptive import AdaptiveBeam
+        res = AdaptiveBeam(idx, opt, ladder=ladder, max_hits=max_hits)(
+            fwd, lens, np.asarray(D), md)
+    else:
+        res = beam_search(idx, fwd_j, lens_j, D, jnp.asarray(md), opt,
+                          beam_width=beam_width, max_hits=max_hits)
     out = []
     hv = np.asarray(res.hit_valid)
     hs = np.asarray(res.hit_score)
