@@ -105,6 +105,27 @@ def main():
     out = aln_step(fwd_j, lens_j, md_np)
     compile_s = time.time() - t0
 
+    # occ-gather microbench: effective bytes/s of the rank primitive (the
+    # HBM-bound inner loop; SURVEY §5 roofline row). Random 16B row gathers
+    # are latency/word-throughput bound, far below stream roofline — report
+    # the measured number rather than a stream-roofline fraction.
+    Q = 1 << 20
+    qs = jnp.asarray(np.random.RandomState(3).randint(0, n, Q).astype(np.uint32))
+    occ_f = jax.jit(lambda q: fm.occ_lt4(dev, q))
+    occ_f(qs).block_until_ready()
+    t0 = time.time()
+    for _ in range(5):
+        o = occ_f(qs)
+    o.block_until_ready()
+    occ_dt = (time.time() - t0) / 5
+    occ_qps = Q / occ_dt
+    occ_gbps = Q * 32 / occ_dt / 1e9  # 16B row + 16B superblock row per query
+
+    prof_dir = os.environ.get("HSA_BENCH_PROFILE")
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            aln_step(fwd_j, lens_j, md_np)
+
     t0 = time.time()
     for _ in range(ITERS):
         out = aln_step(fwd_j, lens_j, md_np)
@@ -123,6 +144,8 @@ def main():
         "ladder": list(LADDER),
         "mapped_frac": round(mapped, 4),
         "batch_ms": round(dt * 1e3, 1),
+        "occ_mqueries_per_s": round(occ_qps / 1e6, 1),
+        "occ_effective_gbps": round(occ_gbps, 2),
         "compile_s": round(compile_s, 1),
         "index_load_s": round(build_s, 1),
         "device": str(jax.devices()[0]),
