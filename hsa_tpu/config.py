@@ -52,13 +52,13 @@ class AlnOpt:
     s_gapo: int = 11            # -O  gap open penalty
     s_gape: int = 4             # -E  gap extension penalty
     indel_end_skip: int = 5     # -i  no indel within this many bp of read ends
-    # -R / -m are accepted for CLI parity; their lineage roles (early-stop
-    # work caps on the DFS) map onto the beam architecture differently:
-    # max_entries -> the beam/hit-buffer capacities (overflow counters flag
-    # truncation), max_top2 -> the occurrence-collection and XA caps at
-    # resolution (see docs/PARITY.md items 1 and 4).
-    max_top2: int = 30          # -R
-    max_entries: int = 2_000_000  # -m
+    # -R / -m are accepted for CLI parity but CURRENTLY UNUSED: their
+    # lineage roles (early-stop work caps on the DFS) are covered by other
+    # knobs in the beam architecture — beam_width/max_hits capacities (with
+    # overflow counters) bound the work, and resolution's max_occ/n_multi
+    # bound occurrence collection and XA output (docs/PARITY.md items 1, 4).
+    max_top2: int = 30          # -R (unused; see note above)
+    max_entries: int = 2_000_000  # -m (unused; see note above)
     trim_qual: int = 0          # -q  quality trimming threshold
     # --- engine knobs with no reference analog (TPU beam search) ---
     beam_width: int = 64        # frontier capacity per read; overflow is counted
