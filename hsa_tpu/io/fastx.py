@@ -71,6 +71,21 @@ class RefMeta:
             return -1, -1
         return i, int(pos - self.starts[i])
 
+    def count_amb(self, pos: int, glen: int) -> int:
+        """# ambiguity-substituted bases in [pos, pos+glen) (XN tag)."""
+        if not self.amb_runs:
+            return 0
+        if not hasattr(self, "_amb_starts"):
+            self._amb_starts = np.asarray([r[0] for r in self.amb_runs], np.int64)
+            self._amb_ends = self._amb_starts + np.asarray(
+                [r[1] for r in self.amb_runs], np.int64)
+        lo = int(np.searchsorted(self._amb_ends, pos, side="right"))
+        hi = int(np.searchsorted(self._amb_starts, pos + glen, side="left"))
+        total = 0
+        for i in range(lo, hi):
+            total += min(int(self._amb_ends[i]), pos + glen) -                      max(int(self._amb_starts[i]), pos)
+        return total
+
     def span_ok(self, pos: int, glen: int) -> bool:
         """True iff [pos, pos+glen) stays inside one sequence."""
         i, off = self.pos_to_ref(pos)

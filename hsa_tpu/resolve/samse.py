@@ -191,5 +191,8 @@ def _make_record(text, meta, read, name, qual, o: Occurrence, mapq, opt: AlnOpt)
     rname = meta.names[ref_i] if ref_i >= 0 else "*"
     rec = AlnRecord(name, flag, rname, off + 1, mapq, cigar_string(cigar), seq, q)
     n_gap_bases = sum(ln for op, ln in cigar if op in ("I", "D"))
+    xn = meta.count_amb(o.pos, glen)
     rec.tags.update(NM=nm, MD=md, XM=o.nmm, XO=o.ngapo, XG=n_gap_bases)
+    if xn:
+        rec.tags["XN"] = xn
     return rec

@@ -175,3 +175,23 @@ def test_trim_read_length():
     assert trim_read_length(q, 0) == 50  # disabled
     assert trim_read_length("#" * 30, 15) == 1  # keeps at least one base
     assert trim_read_length("*", 15) == 1 or trim_read_length("*", 15) == 1
+
+
+def test_xn_tag_counts_ambiguous_bases(tmp_path):
+    from hsa_tpu.pipeline import Aligner, build_index
+    from hsa_tpu.config import AlnOpt
+    rs = np.random.RandomState(3)
+    g = "".join("ACGT"[i] for i in rs.randint(0, 4, 3000))
+    g = g[:1000] + "NNN" + g[1003:]
+    (tmp_path / "r.fa").write_text(f">c\n{g}\n")
+    build_index(str(tmp_path / "r.fa"), str(tmp_path / "r"))
+    al = Aligner(str(tmp_path / "r.hsa"), AlnOpt(max_diff=2))
+    # read overlapping the N run (Ns were substituted deterministically, so
+    # take the read from the CLEANED text to guarantee a hit)
+    read = al.text[980:1040].copy()
+    recs = al.align([read], ["q"], None, beam_width=256)
+    assert recs[0].pos == 981
+    assert recs[0].tags.get("XN") == 3
+    # read away from the run has no XN
+    recs2 = al.align([al.text[2000:2060].copy()], ["q2"], None, beam_width=256)
+    assert "XN" not in recs2[0].tags
