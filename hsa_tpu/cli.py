@@ -225,6 +225,8 @@ def cmd_align(argv):
     p.add_argument("-f", "--out", default=None)
     p.add_argument("--n-multi", type=int, default=3)
     p.add_argument("--metrics", default=None, help="write run metrics JSON here")
+    p.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace of one batch to this dir")
     p.add_argument("--resume", action="store_true",
                    help="resume an interrupted run from its .manifest.json")
     _add_search_opts(p)
@@ -249,9 +251,17 @@ def cmd_align(argv):
         out.write(sam_header(al.meta, "align"))
     if done:
         met.log(f"resuming at read {done}/{len(reads)}")
+    profiled = False
     for s, bn, br, bq in _iter_batches(names, reads, quals, a.batch):
         if s + len(br) <= done:
             continue
+        if a.profile and not profiled:
+            import jax
+            profiled = True
+            with jax.profiler.trace(a.profile):
+                al.align(br, bn, bq, read_offset=s, beam_width=a.beam_width,
+                         sopt=SamseOpt(n_multi=a.n_multi))
+            met.log(f"profiler trace written to {a.profile}")
         with met.timer("align"):
             recs = al.align(br, bn, bq, read_offset=s, beam_width=a.beam_width,
                             sopt=SamseOpt(n_multi=a.n_multi))
