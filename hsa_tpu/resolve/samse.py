@@ -68,12 +68,71 @@ class Occurrence:
 
 
 def collect_occurrences(hits_fwd, hits_rc, locate_fn, max_occ: int = 512):
-    """Per-read merged, deduped occurrence lists.
+    """Per-read merged, deduped occurrence lists (vectorized).
 
     hits_fwd/hits_rc: list (per read) of Hit lists from either engine.
     locate_fn: callable(ranks_uint32_array) -> positions array (batched).
-    Returns (occs_per_read, truncated_flags).
+    Returns (occs_per_read, truncated_flags).  Semantics (shared with the
+    loop reference implementation below, tested equal): the per-read
+    occurrence budget ``max_occ`` is consumed across both strands in hit
+    order; deduplication keeps the minimum-score hit per (pos, strand)
+    with first-encountered winning ties.
     """
+    B = len(hits_fwd)
+    js, ss, ks, ws, sc, nm, go, ge = [], [], [], [], [], [], [], []
+    for j in range(B):
+        for strand, hits in ((0, hits_fwd[j]), (1, hits_rc[j])):
+            for h in hits:
+                js.append(j); ss.append(strand); ks.append(h.k)
+                ws.append(h.l - h.k + 1); sc.append(h.score)
+                nm.append(h.nmm); go.append(h.ngapo); ge.append(h.ngape)
+    if not js:
+        return [[] for _ in range(B)], [False] * B
+    js = np.asarray(js, np.int64); ss = np.asarray(ss, np.int8)
+    ks = np.asarray(ks, np.int64); ws = np.asarray(ws, np.int64)
+    sc = np.asarray(sc, np.int64); nm = np.asarray(nm, np.int32)
+    go = np.asarray(go, np.int32); ge = np.asarray(ge, np.int32)
+
+    # per-read running budget over hits (arrays are grouped by read already)
+    cum = np.cumsum(ws)
+    first_of_read = np.ones(js.size, bool)
+    first_of_read[1:] = js[1:] != js[:-1]
+    read_base = np.maximum.accumulate(np.where(first_of_read, cum - ws, -1))
+    used_before = (cum - ws) - read_base
+    take = np.clip(max_occ - used_before, 0, ws)
+    trunc_hit = take < ws
+    truncated = [False] * B
+    for j in np.unique(js[trunc_hit]):
+        truncated[int(j)] = True
+
+    total = int(take.sum())
+    if total == 0:
+        return [[] for _ in range(B)], truncated
+    hid = np.repeat(np.arange(js.size), take)
+    offs = np.arange(total) - np.repeat(np.cumsum(take) - take, take)
+    ranks = ks[hid] + offs
+    pos = np.asarray(locate_fn(ranks.astype(np.uint32))).astype(np.int64)
+
+    # dedup per (read, strand, pos): min score, earliest wins ties
+    order = np.lexsort((np.arange(total), sc[hid], pos, ss[hid], js[hid]))
+    jo, so, po = js[hid][order], ss[hid][order], pos[order]
+    first = np.ones(total, bool)
+    first[1:] = (jo[1:] != jo[:-1]) | (so[1:] != so[:-1]) | (po[1:] != po[:-1])
+    win = order[first]
+
+    occs = [[] for _ in range(B)]
+    for w_i in win:
+        h = int(hid[w_i])
+        occs[int(js[h])].append(Occurrence(int(pos[w_i]), int(ss[h]),
+                                           int(sc[h]), int(nm[h]),
+                                           int(go[h]), int(ge[h])))
+    for j in range(B):
+        occs[j].sort(key=lambda o: (o.score, o.strand, o.pos))
+    return occs, truncated
+
+
+def collect_occurrences_ref(hits_fwd, hits_rc, locate_fn, max_occ: int = 512):
+    """Loop reference implementation (semantics oracle for the vectorized one)."""
     B = len(hits_fwd)
     ranks, owners = [], []
     truncated = [False] * B

@@ -195,3 +195,28 @@ def test_xn_tag_counts_ambiguous_bases(tmp_path):
     # read away from the run has no XN
     recs2 = al.align([al.text[2000:2060].copy()], ["q2"], None, beam_width=256)
     assert "XN" not in recs2[0].tags
+
+
+def test_collect_occurrences_vectorized_matches_reference():
+    from hsa_tpu.oracle.bnb import Hit
+    from hsa_tpu.resolve.samse import collect_occurrences, collect_occurrences_ref
+    rs = np.random.RandomState(5)
+    # fake locate: position = rank * 7 % 1000 (forces collisions/dedup)
+    locate = lambda ranks: (np.asarray(ranks, np.int64) * 7) % 1000
+    for trial in range(20):
+        B = rs.randint(1, 8)
+        hf, hr = [], []
+        for _ in range(B):
+            def mk():
+                out = []
+                for _ in range(rs.randint(0, 4)):
+                    k = rs.randint(0, 900)
+                    w = rs.randint(1, 30)
+                    out.append(Hit(int(rs.randint(0, 4)) * 3, 1, 0, 0, k, k + w - 1))
+                return out
+            hf.append(mk()); hr.append(mk())
+        cap = int(rs.choice([3, 10, 512]))
+        a_occ, a_tr = collect_occurrences(hf, hr, locate, cap)
+        b_occ, b_tr = collect_occurrences_ref(hf, hr, locate, cap)
+        assert a_tr == b_tr, trial
+        assert a_occ == b_occ, trial
