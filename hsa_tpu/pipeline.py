@@ -77,9 +77,19 @@ class Aligner:
         return hits_all[:B], hits_all[B:]
 
     def locate_fn(self, ranks: np.ndarray) -> np.ndarray:
+        import jax
         import jax.numpy as jnp
         from .search import fm
-        return np.asarray(fm.locate(self.dev, jnp.asarray(ranks, jnp.uint32)))
+        if not hasattr(self, "_locate_jit"):
+            self._locate_jit = jax.jit(lambda r: fm.locate(self.dev, r))
+        n = len(ranks)
+        if n == 0:
+            return np.zeros(0, np.uint32)
+        # pad to a power of two so recompiles are O(log n) distinct shapes
+        m = 1 << (int(n - 1).bit_length())
+        padded = np.zeros(m, np.uint32)
+        padded[:n] = ranks
+        return np.asarray(self._locate_jit(jnp.asarray(padded)))[:n]
 
     # -- full pipeline -----------------------------------------------------
     def align(self, reads, names=None, quals=None, *, read_offset: int = 0,

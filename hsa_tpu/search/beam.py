@@ -260,6 +260,20 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
                       n_live_dropped=ldrop, n_hits_dropped=hdrop)
 
 
+_jit_cache = {}
+
+
+def _jitted(idx, kind, make):
+    """Per-index cache of jitted device functions (eager tracing of the
+    scan-based passes costs more than the device work itself)."""
+    key = (id(idx), kind)
+    f = _jit_cache.get(key)
+    if f is None:
+        f = jax.jit(make())
+        _jit_cache[key] = f
+    return f
+
+
 def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None,
                 ladder=None):
     """Host convenience wrapper: list of code arrays -> per-read hit lists.
@@ -284,16 +298,25 @@ def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None,
     fwd_j = jnp.asarray(fwd)
     lens_j = jnp.asarray(lens)
     if idx.rev_occ_blocks is not None:
-        D = cal_width_device(idx, fwd_j, lens_j)
+        width_f = _jitted(idx, "width",
+                          lambda: lambda r, l: cal_width_device(idx, r, l))
+        D = width_f(fwd_j, lens_j)
     else:
         D = jnp.zeros((B, Lmax), I32)
     if ladder:
         from .adaptive import AdaptiveBeam
-        res = AdaptiveBeam(idx, opt, ladder=ladder, max_hits=max_hits)(
-            fwd, lens, np.asarray(D), md)
+        key = (id(idx), "ladder", tuple(ladder), max_hits)
+        ab = _jit_cache.get(key)
+        if ab is None:
+            ab = AdaptiveBeam(idx, opt, ladder=ladder, max_hits=max_hits)
+            _jit_cache[key] = ab
+        res = ab(fwd, lens, np.asarray(D), md)
     else:
-        res = beam_search(idx, fwd_j, lens_j, D, jnp.asarray(md), opt,
-                          beam_width=beam_width, max_hits=max_hits)
+        W, H = beam_width, max_hits
+        beam_f = _jitted(idx, ("beam", W or opt.beam_width, H),
+                         lambda: lambda rf, ln, D_, m_: beam_search(
+                             idx, rf, ln, D_, m_, opt, beam_width=W, max_hits=H))
+        res = beam_f(fwd_j, lens_j, D, jnp.asarray(md))
     out = []
     hv = np.asarray(res.hit_valid)
     hs = np.asarray(res.hit_score)
