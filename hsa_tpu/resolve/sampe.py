@@ -164,14 +164,15 @@ def resolve_batch_pe(text, meta, reads1, reads2, names, quals1, quals2,
 
     hits1/hits2: (hits_fwd, hits_rc) tuples per end from the search engine.
     """
+    from .samse import _span_possible
     peopt = peopt or PEOpt()
     B = len(reads1)
-    occs1, trunc1 = collect_occurrences(hits1[0], hits1[1], locate_fn, max_occ)
-    occs2, trunc2 = collect_occurrences(hits2[0], hits2[1], locate_fn, max_occ)
+    cap = min(peopt.max_occ, max_occ)  # -o, bounded by the locate-cost cap
+    occs1, trunc1 = collect_occurrences(hits1[0], hits1[1], locate_fn, cap)
+    occs2, trunc2 = collect_occurrences(hits2[0], hits2[1], locate_fn, cap)
 
     def bfilter(lst, L):
-        return [o for o in lst if meta.span_ok(o.pos, _glen(o, L)) or
-                meta.span_ok(o.pos, L)]
+        return [o for o in lst if _span_possible(meta, o, L)]
 
     lens1 = [len(r) for r in reads1]
     lens2 = [len(r) for r in reads2]
@@ -213,7 +214,7 @@ def resolve_batch_pe(text, meta, reads1, reads2, names, quals1, quals2,
 
     # ---- phase B: batched device rescue screen, host traceback on accepts -
     rescued_flags = [[False, False] for _ in range(B)]
-    for j, missing, res in _rescue_batch(text, jobs, rlim, opt):
+    for j, missing, res in _rescue_batch(text, meta, jobs, rlim, opt):
         if res is None:
             continue
         if missing == 1:
@@ -277,37 +278,79 @@ def resolve_batch_pe(text, meta, reads1, reads2, names, quals1, quals2,
                 rec.tags["X0"] = c1
                 if not trunc:
                     rec.tags["X1"] = c2
+                # XA alternates (lineage: sampe -n/-N caps)
+                xa_cap = peopt.n_multi if proper else peopt.N_multi
+                alts = [x for x in window if x is not o][:xa_cap]
+                if alts and len(window) - 1 <= xa_cap:
+                    parts = []
+                    for x in alts:
+                        arec = _make_record(text, meta, read, name, qual, x, 0, opt)
+                        parts.append(
+                            f"{arec.rname},{'-' if x.strand else '+'}{arec.pos},"
+                            f"{arec.cigar},{arec.tags['NM']}")
+                    rec.tags["XA"] = ";".join(parts) + ";"
             if was_rescued:
                 rec.tags["XT"] = "M"
-            if o_mate is not None:
-                ri_m, off_m = meta.pos_to_ref(o_mate.pos)
-                ri_s, _ = meta.pos_to_ref(o.pos)
-                rec.rnext = "=" if ri_m == ri_s else meta.names[ri_m]
-                rec.pnext = off_m + 1
-                if ri_m == ri_s:
-                    left = min(o.pos, o_mate.pos)
-                    right = max(o.pos + _glen(o, L), o_mate.pos + _glen(o_mate, L_mate))
-                    t = right - left
-                    rec.tlen = t if o.pos <= o_mate.pos else -t
             records.append(rec)
+
+        # mate fields from the ACTUAL reference spans of the built records
+        a, b = records[-2], records[-1]
+        for rec, mate, o, o_mate in ((a, b, o1, o2), (b, a, o2, o1)):
+            if o is None or o_mate is None:
+                continue
+            same = rec.rname == mate.rname
+            rec.rnext = "=" if same else mate.rname
+            rec.pnext = mate.pos
+            if same:
+                span_self = _cigar_ref_span(rec.cigar)
+                span_mate = _cigar_ref_span(mate.cigar)
+                left = min(rec.pos, mate.pos)
+                right = max(rec.pos + span_self, mate.pos + span_mate)
+                t = right - left
+                rec.tlen = t if (rec.pos, span_self) <= (mate.pos, span_mate) \
+                    else -t
+                if rec.pos == mate.pos and span_self == span_mate:
+                    # same start/span: sign by read number (deterministic)
+                    rec.tlen = t if rec.flag & F_READ1 else -t
     return records
 
 
-def _rescue_window(text, anchor: Occurrence, L: int, rlim: int):
-    """(lo, hi, strand) of the FR-implied rescue window for the missing mate."""
+def _cigar_ref_span(cigar_str: str) -> int:
+    """Reference bases consumed by a CIGAR string (M and D ops)."""
+    span = 0
+    num = 0
+    for ch in cigar_str:
+        if ch.isdigit():
+            num = num * 10 + ord(ch) - 48
+        else:
+            if ch in ("M", "D", "=", "X", "N"):
+                span += num
+            num = 0
+    return span
+
+
+def _rescue_window(text, meta, anchor: Occurrence, L: int, rlim: int):
+    """(lo, hi, strand) of the FR-implied rescue window for the missing mate.
+
+    Clamped to the anchor's own reference sequence so a rescued mate can
+    never be placed across (or inside) a different chromosome of the
+    concatenated text.
+    """
+    ri, _ = meta.pos_to_ref(anchor.pos)
+    seq_lo = int(meta.starts[ri]) if ri >= 0 else 0
+    seq_hi = (int(meta.starts[ri] + meta.lengths[ri]) if ri >= 0 else len(text))
     if anchor.strand == 0:
         lo = anchor.pos
-        hi = min(len(text), anchor.pos + max(rlim, L + 8))
+        hi = min(seq_hi, anchor.pos + max(rlim, L + 8))
         strand = 1
     else:
-        hi = anchor.pos + L + 8
-        lo = max(0, hi - max(rlim, L + 8))
-        hi = min(len(text), hi)
+        hi = min(seq_hi, anchor.pos + L + 8)
+        lo = max(seq_lo, hi - max(rlim, L + 8))
         strand = 0
     return lo, hi, strand
 
 
-def _rescue_batch(text, jobs, rlim, opt: AlnOpt):
+def _rescue_batch(text, meta, jobs, rlim, opt: AlnOpt):
     """Screen all rescue jobs in one device DP pass; traceback on accepts.
 
     jobs: [(pair_idx, missing_end, anchor, read, L)].  Yields
@@ -322,7 +365,7 @@ def _rescue_batch(text, jobs, rlim, opt: AlnOpt):
 
     prepped = []
     for j, missing, anchor, read, L in jobs:
-        lo, hi, strand = _rescue_window(text, anchor, L, rlim)
+        lo, hi, strand = _rescue_window(text, meta, anchor, L, rlim)
         target = alphabet.revcomp(read) if strand == 1 else np.asarray(read)
         prepped.append((j, missing, lo, hi, strand, target, L))
     Lmax = max(p[6] for p in prepped)

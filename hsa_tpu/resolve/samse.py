@@ -166,6 +166,20 @@ def collect_occurrences_ref(hits_fwd, hits_rc, locate_fn, max_occ: int = 512):
     return out, truncated
 
 
+def _span_possible(meta, o: Occurrence, L: int) -> bool:
+    """Boundary filter: can the alignment fit inside one reference sequence?
+
+    The exact reference span is only known after the refinement DP, so the
+    filter uses the MINIMUM possible span (every gap op taken as an
+    insertion); ungapped hits have the exact span L.  The refinement window
+    in _make_record is clamped to the sequence end, so accepted gapped hits
+    can never produce CIGARs that cross a chromosome junction.
+    """
+    ngap = o.ngapo + o.ngape
+    min_span = L if ngap == 0 else max(L - ngap, 1)
+    return meta.span_ok(o.pos, min_span)
+
+
 def resolve_batch_se(text, meta, reads, names, quals, hits_fwd, hits_rc,
                      locate_fn, opt: AlnOpt, sopt: SamseOpt | None = None,
                      read_offset: int = 0, max_occ: int = 512):
@@ -183,14 +197,7 @@ def resolve_batch_se(text, meta, reads, names, quals, hits_fwd, hits_rc,
         name = names[j]
         qual = quals[j] if quals else "*"
         seq_fwd = alphabet.decode(read)
-        lst = occs[j]
-        # boundary filter: alignment must stay inside one reference sequence
-        flt = []
-        for o in lst:
-            glen = L + o.ngapo + o.ngape  # upper bound on ref span
-            if meta.span_ok(o.pos, glen) or meta.span_ok(o.pos, L):
-                flt.append(o)
-        lst = flt
+        lst = [o for o in occs[j] if _span_possible(meta, o, L)]
         if not lst:
             records.append(AlnRecord(name, 4, "*", 0, 0, "*", seq_fwd, qual))
             continue
@@ -235,13 +242,18 @@ def _make_record(text, meta, read, name, qual, o: Occurrence, mapq, opt: AlnOpt)
         q = qual
         flag = 0
     ngap = o.ngapo + o.ngape
+    ref_i0, off0 = meta.pos_to_ref(o.pos)
+    seq_end = (int(meta.starts[ref_i0] + meta.lengths[ref_i0])
+               if ref_i0 >= 0 else len(text))
     if ngap == 0:
         glen = L
         ref_win = text[o.pos:o.pos + L]
         cigar = [("M", L)]
         nm, md = cigar_stats(cigar, aln_read, ref_win)
     else:
-        wlen = min(L + ngap, len(text) - o.pos)
+        # clamp the refinement window to this sequence's end so the CIGAR
+        # can never cross a chromosome junction in the concatenated text
+        wlen = min(L + ngap, seq_end - o.pos)
         ref_win = text[o.pos:o.pos + wlen]
         _, cigar, glen = banded_global(aln_read, ref_win, opt.s_mm, opt.s_gapo,
                                        opt.s_gape, band=ngap + 1)

@@ -44,6 +44,7 @@ class AdaptiveBeam:
         dev, opt, H = self.dev, self.opt, self.max_hits
         ladder = self.ladder
         ESC = max(int(B * self.esc_frac), 1)
+        # B used as the out-of-range nonzero fill below
 
         @jax.jit
         def run(fwd, lens, D, md):
@@ -52,7 +53,11 @@ class AdaptiveBeam:
             for W in ladder[1:]:
                 flag = (res.n_live_dropped > 0) | (res.n_hits_dropped > 0)
                 n_flag = flag.sum()
-                idx = jnp.nonzero(flag, size=ESC, fill_value=0)[0]
+                # fill with an OUT-OF-RANGE index: gathers clamp (harmless,
+                # masked by `valid`) and the scatter-back DROPS those rows —
+                # fill_value=0 would make row 0 a duplicate scatter target
+                # with undefined ordering
+                idx = jnp.nonzero(flag, size=ESC, fill_value=B)[0]
                 valid = jnp.arange(ESC) < n_flag
                 sub = beam_search(
                     dev, fwd[idx], jnp.where(valid, lens[idx], 0),

@@ -112,6 +112,8 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
     assert opt.max_gapo <= 7 and opt.max_gape <= 15 and opt.max_seed_diff <= 15
     reads_fwd = reads_fwd.astype(I32)
     lens = lens.astype(I32)
+    # budgets above 15 cannot be represented in the 4-bit nmm packing; the
+    # numpy entry (align_batch) asserts, this clamp is the traced-path belt
     max_diff = jnp.minimum(max_diff.astype(I32), 15)
     s_mm, s_gapo, s_gape = opt.s_mm, opt.s_gapo, opt.s_gape
     skip = opt.indel_end_skip
@@ -263,9 +265,14 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
 _jit_cache = {}
 
 
+def _opt_key(opt):
+    return tuple(sorted(opt.to_dict().items()))
+
+
 def _jitted(idx, kind, make):
     """Per-index cache of jitted device functions (eager tracing of the
-    scan-based passes costs more than the device work itself)."""
+    scan-based passes costs more than the device work itself).  Keys include
+    every value baked into the closure (index identity, kind, opt)."""
     key = (id(idx), kind)
     f = _jit_cache.get(key)
     if f is None:
@@ -288,13 +295,20 @@ def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None,
 
     Lmax = max_len or max(len(r) for r in reads)
     B = len(reads)
+    too_long = max(len(r) for r in reads)
+    if too_long > Lmax:
+        raise ValueError(f"read length {too_long} exceeds max_len {Lmax}; "
+                         f"truncating silently would misreport alignments")
     fwd = np.full((B, Lmax), 5, dtype=np.uint8)
     lens = np.zeros(B, dtype=np.int32)
     for j, r in enumerate(reads):
-        L = min(len(r), Lmax)
-        fwd[j, :L] = np.asarray(r, dtype=np.uint8)[:L]
+        L = len(r)
+        fwd[j, :L] = np.asarray(r, dtype=np.uint8)
         lens[j] = L
     md = np.array([opt.diff_budget(int(L)) for L in lens], dtype=np.int32)
+    if md.size and md.max() > 15:
+        raise ValueError("diff budget > 15 unsupported by the packed beam "
+                         "state (and unrealistic for short-read budgets)")
     fwd_j = jnp.asarray(fwd)
     lens_j = jnp.asarray(lens)
     if idx.rev_occ_blocks is not None:
@@ -305,7 +319,7 @@ def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None,
         D = jnp.zeros((B, Lmax), I32)
     if ladder:
         from .adaptive import AdaptiveBeam
-        key = (id(idx), "ladder", tuple(ladder), max_hits)
+        key = (id(idx), "ladder", tuple(ladder), max_hits, _opt_key(opt))
         ab = _jit_cache.get(key)
         if ab is None:
             ab = AdaptiveBeam(idx, opt, ladder=ladder, max_hits=max_hits)
@@ -313,7 +327,7 @@ def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None,
         res = ab(fwd, lens, np.asarray(D), md)
     else:
         W, H = beam_width, max_hits
-        beam_f = _jitted(idx, ("beam", W or opt.beam_width, H),
+        beam_f = _jitted(idx, ("beam", W or opt.beam_width, H, _opt_key(opt)),
                          lambda: lambda rf, ln, D_, m_: beam_search(
                              idx, rf, ln, D_, m_, opt, beam_width=W, max_hits=H))
         res = beam_f(fwd_j, lens_j, D, jnp.asarray(md))
