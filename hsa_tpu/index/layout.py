@@ -88,7 +88,12 @@ class DeviceIndex:
 
     def save(self, path: str):
         empty4 = np.zeros((0, OCC_ROW), np.uint32)
-        np.savez_compressed(
+        # compression is worthwhile only for small indexes: zlib inflate of a
+        # multi-GB genome index takes tens of minutes single-threaded at load
+        total = self.occ_blocks.nbytes * (2 if self.rev_occ_blocks is not None
+                                          else 1) + self.mark_blocks.nbytes
+        savez = np.savez_compressed if total < (256 << 20) else np.savez
+        savez(
             path, n=self.n, primary=self.primary, sa_intv=self.sa_intv,
             layout_version=2,
             C=self.C, occ_blocks=self.occ_blocks, occ_super=self.occ_super,
