@@ -87,10 +87,11 @@ def main():
     fwd_j, lens_j = jnp.asarray(fwd), jnp.asarray(lens)
 
     from hsa_tpu.search.adaptive import AdaptiveBeam
+    from hsa_tpu.search.jitcache import jit_over_idx
     adaptive = AdaptiveBeam(dev, opt, ladder=LADDER or (BEAM_W,),
                             max_hits=MAX_HITS, esc_batch=2048)
-    width_f = jax.jit(lambda rf, ln: cal_width_device(dev, rf, ln))
-    locate_f = jax.jit(lambda r: fm.locate(dev, r))
+    width_f = jit_over_idx(dev, cal_width_device)
+    locate_f = jit_over_idx(dev, fm.locate)
 
     def aln_step(reads_fwd, lens, max_diff):
         D = width_f(reads_fwd, lens)
@@ -111,8 +112,8 @@ def main():
     # the measured number rather than a stream-roofline fraction.
     Q = 1 << 20
     qs = jnp.asarray(np.random.RandomState(3).randint(0, n, Q).astype(np.uint32))
-    occ_f = jax.jit(lambda q: fm.occ_lt4(dev, q))
-    occ_f(qs).block_until_ready()
+    occ_f = jit_over_idx(dev, fm.occ_lt4)
+    occ_f(qs).block_until_ready()  # noqa: jit warms
     t0 = time.time()
     for _ in range(5):
         o = occ_f(qs)

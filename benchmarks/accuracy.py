@@ -57,7 +57,8 @@ def main():
     hits, _ = align_batch(dev, list(reads) + rc, opt, ladder=(8, 64, 512),
                           max_hits=16)
     from hsa_tpu.search import fm as _fm
-    lfn = jax.jit(lambda r: _fm.locate(dev, r))
+    from hsa_tpu.search.jitcache import jit_over_idx
+    lfn = jit_over_idx(dev, _fm.locate)
     recs = resolve_batch_se(text if isinstance(text, np.ndarray) else
                             np.asarray(text),
                             meta, reads, [f"r{j}" for j in range(B)], None,

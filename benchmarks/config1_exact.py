@@ -21,11 +21,14 @@ def main():
     reads_rev = fwd[:, ::-1].copy()
     lens = np.full(B, L, np.int32)
 
-    @jax.jit
-    def step(rr, ln):
-        k, l, m = exact_search(dev, rr, ln)
-        pos, cnt = locate_all(dev, k, l, m, cap=1)
+    from hsa_tpu.search.jitcache import jit_over_idx
+
+    def _step(ix, rr, ln):
+        k, l, m = exact_search(ix, rr, ln)
+        pos, cnt = locate_all(ix, k, l, m, cap=1)
         return k, l, m, pos
+
+    step = jit_over_idx(dev, _step)
 
     dt, (k, l, m, pos) = timeit(step, jnp.asarray(reads_rev), jnp.asarray(lens))
     report("exact_reads_per_s", B / dt, "reads/s",

@@ -25,10 +25,13 @@ def main():
     lens = np.full(B, L, np.int32)
     md = np.full(B, 1, np.int32)
 
-    @jax.jit
-    def step(rf, ln, md):
-        D = cal_width_device(dev, rf, ln)
-        return beam_search(dev, rf, ln, D, md, opt, beam_width=W, max_hits=8)
+    from hsa_tpu.search.jitcache import jit_over_idx
+
+    def _step(ix, rf, ln, md):
+        D = cal_width_device(ix, rf, ln)
+        return beam_search(ix, rf, ln, D, md, opt, beam_width=W, max_hits=8)
+
+    step = jit_over_idx(dev, _step)
 
     dt, res = timeit(step, jnp.asarray(fwd), jnp.asarray(lens), jnp.asarray(md))
     mapped = float(np.asarray(res.hit_valid.any(axis=1)).mean())

@@ -81,7 +81,8 @@ class Aligner:
         import jax.numpy as jnp
         from .search import fm
         if not hasattr(self, "_locate_jit"):
-            self._locate_jit = jax.jit(lambda r: fm.locate(self.dev, r))
+            from .search.jitcache import jit_over_idx
+            self._locate_jit = jit_over_idx(self.dev, fm.locate)
         n = len(ranks)
         if n == 0:
             return np.zeros(0, np.uint32)

@@ -41,13 +41,16 @@ class AdaptiveBeam:
     def _ladder_fn(self, B: int):
         if B in self._jit_cache:
             return self._jit_cache[B]
-        dev, opt, H = self.dev, self.opt, self.max_hits
+        from .jitcache import split_idx, join_idx
+        opt, H = self.opt, self.max_hits
         ladder = self.ladder
         ESC = max(int(B * self.esc_frac), 1)
+        arrays, meta = split_idx(self.dev)
         # B used as the out-of-range nonzero fill below
 
         @jax.jit
-        def run(fwd, lens, D, md):
+        def run_core(arrs, fwd, lens, D, md):
+            dev = join_idx(meta, arrs)
             res = beam_search(dev, fwd, lens, D, md, opt,
                               beam_width=ladder[0], max_hits=H)
             for W in ladder[1:]:
@@ -70,6 +73,7 @@ class AdaptiveBeam:
                 res = BeamResult(*(merge(a, b) for a, b in zip(res, sub)))
             return res
 
+        run = lambda fwd, lens, D, md: run_core(arrays, fwd, lens, D, md)
         self._jit_cache[B] = run
         return run
 

@@ -269,14 +269,18 @@ def _opt_key(opt):
     return tuple(sorted(opt.to_dict().items()))
 
 
-def _jitted(idx, kind, make):
+def _jitted(idx, kind, body):
     """Per-index cache of jitted device functions (eager tracing of the
     scan-based passes costs more than the device work itself).  Keys include
-    every value baked into the closure (index identity, kind, opt)."""
+    every value baked into the closure (index identity, kind, opt).  Index
+    tables are passed as jit ARGUMENTS, not closures — closure arrays become
+    HLO literals and multi-GB indexes then break the remote-compile path
+    (see search.jitcache)."""
+    from .jitcache import jit_over_idx
     key = (id(idx), kind)
     f = _jit_cache.get(key)
     if f is None:
-        f = jax.jit(make())
+        f = jit_over_idx(idx, body)
         _jit_cache[key] = f
     return f
 
@@ -313,7 +317,7 @@ def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None,
     lens_j = jnp.asarray(lens)
     if idx.rev_occ_blocks is not None:
         width_f = _jitted(idx, "width",
-                          lambda: lambda r, l: cal_width_device(idx, r, l))
+                          lambda ix, r, l: cal_width_device(ix, r, l))
         D = width_f(fwd_j, lens_j)
     else:
         D = jnp.zeros((B, Lmax), I32)
@@ -328,8 +332,8 @@ def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None,
     else:
         W, H = beam_width, max_hits
         beam_f = _jitted(idx, ("beam", W or opt.beam_width, H, _opt_key(opt)),
-                         lambda: lambda rf, ln, D_, m_: beam_search(
-                             idx, rf, ln, D_, m_, opt, beam_width=W, max_hits=H))
+                         lambda ix, rf, ln, D_, m_: beam_search(
+                             ix, rf, ln, D_, m_, opt, beam_width=W, max_hits=H))
         res = beam_f(fwd_j, lens_j, D, jnp.asarray(md))
     out = []
     hv = np.asarray(res.hit_valid)
