@@ -83,37 +83,32 @@ class ShardedIndex:
                                                 lambda idx: arr[idx])
 
         self.occ_blocks = put(occ, sh2)
-        # superblock tables are tiny (16 B / 32 Ksym) — replicated
-        self.occ_super = put(di.occ_super, rep)
         self.mark_blocks = put(mark, sh2)
         self.samples = put(samples, sh1)
         self.C = put(di.C, rep)
         if di.rev_occ_blocks is not None:
             rocc = _pad_rows(di.rev_occ_blocks, ns)
             self.rev_occ_blocks = put(rocc, sh2)
-            self.rev_occ_super = put(di.rev_occ_super, rep)
         else:
             self.rev_occ_blocks = None
-            self.rev_occ_super = None
 
     def _index_args(self):
-        args = [self.occ_blocks, self.occ_super, self.mark_blocks,
+        args = [self.occ_blocks, self.mark_blocks,
                 self.samples, self.C]
-        specs = [P("shard", None), P(), P("shard", None), P("shard"), P()]
+        specs = [P("shard", None), P("shard", None), P("shard"), P()]
         if self.rev_occ_blocks is not None:
-            args += [self.rev_occ_blocks, self.rev_occ_super]
-            specs += [P("shard", None), P()]
+            args += [self.rev_occ_blocks]
+            specs += [P("shard", None)]
         return args, specs
 
-    def _local_idx(self, occ, occ_super, mark, samples, C,
-                   rev_occ=None, rev_occ_super=None):
+    def _local_idx(self, occ, mark, samples, C, rev_occ=None):
         s = lax.axis_index("shard").astype(jnp.int32)
         return SimpleNamespace(
             n=self.meta["n"], primary=self.meta["primary"],
             sa_intv=self.meta["sa_intv"], C=C,
-            occ_blocks=occ, occ_super=occ_super,
+            occ_blocks=occ,
             mark_blocks=mark, samples=samples,
-            rev_occ_blocks=rev_occ, rev_occ_super=rev_occ_super,
+            rev_occ_blocks=rev_occ,
             rev_primary=self.meta["rev_primary"],
             shard_axis="shard",
             row_offset=s * self.occ_rows,

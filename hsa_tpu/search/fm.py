@@ -1,10 +1,20 @@
-"""Batched FM-index primitives over the blocked occ layout (jnp).
+"""Batched FM-index primitives over the self-contained occ layout (jnp).
 
 These are the device analogs of the reference's ``bwt.c`` rank/locate
 primitives (``bwt_occ4``/``bwt_2occ4``/``bwt_sa``), restated over
-``hsa_tpu.index.layout``'s blocked rows and batched over query vectors.
-This jnp path is the semantics reference for the Pallas kernels in
-``hsa_tpu.kernels`` and is itself jit-compatible (XLA row gathers).
+``hsa_tpu.index.layout`` v3 rows and batched over query vectors.
+
+Performance discipline (docs/TPU_NOTES.md; measured on v5e):
+
+- every rank query is ONE 32-byte row gather (``jnp.take`` from a table
+  that reaches the executable as an ARGUMENT — never a closure);
+- gather results pass through ``lax.optimization_barrier`` so XLA keeps
+  the fast standalone gather lowering instead of fusing it into a
+  consumer loop;
+- all decode/count compute is elementwise on FLAT [B] vectors (never
+  [B, k]-minor-dim broadcast chains) — constant shifts, flat variable
+  shifts, per-word unrolled popcounts;
+- no integer division/remainder in hot paths.
 
 Rank convention: the primitive is ``occ_lt(a, p)`` = number of ``a`` among
 bwt_full rows ``[0, p)`` excluding the primary row, for p in [0, n+1].
@@ -32,7 +42,8 @@ import jax.numpy as jnp
 from jax import lax
 
 U32 = jnp.uint32
-_PAT55 = jnp.uint32(0x55555555)
+I32 = jnp.int32
+_PAT55 = 0x55555555
 
 
 def _stored_prefix(primary, p):
@@ -42,23 +53,22 @@ def _stored_prefix(primary, p):
 
 
 def _gather_rows(idx, blocks, b_global, offset_attr):
-    """Row gather by global block id.
+    """Row gather by global block id -> (rows [B, 8], own mask [B] | None).
 
-    On sharded indexes returns (rows, own) where ``own`` marks lanes whose
-    block this shard owns; non-owned rows are zeroed AND the caller must
-    additionally gate derived counts with ``own`` before the psum merge —
-    zeroed 2-bit words would otherwise decode as runs of base A.
-    Unsharded: own is None.
+    On sharded indexes ``own`` marks lanes whose block this shard owns;
+    callers must gate every value derived from non-owned rows with ``own``
+    before the psum merge.  Unsharded: own is None.  The barrier keeps the
+    gather on XLA's fast standalone lowering.
     """
     ax = getattr(idx, "shard_axis", None)
-    b_global = b_global.astype(jnp.int32)
+    b_global = b_global.astype(I32)
     if ax is None:
-        return jnp.take(blocks, b_global, axis=0), None
+        return lax.optimization_barrier(jnp.take(blocks, b_global, axis=0)), None
     off = getattr(idx, offset_attr)
     local = b_global - off
     own = (local >= 0) & (local < blocks.shape[0])
     rows = jnp.take(blocks, jnp.clip(local, 0, blocks.shape[0] - 1), axis=0)
-    return rows * own[:, None].astype(rows.dtype), own
+    return lax.optimization_barrier(rows), own
 
 
 def _psum(idx, x):
@@ -66,68 +76,89 @@ def _psum(idx, x):
     return lax.psum(x, ax) if ax is not None else x
 
 
-def _row_split(idx, blocks, superblocks, p_st, offset_attr):
-    """(cnt[B,4], words[B,2], off[B], own[B]|None) for stored prefix lengths.
+def _word_masks(off):
+    """Four flat uint32 masks; mask j selects the 2-bit symbol pairs of word
+    j that lie below prefix length ``off`` (off int32 [B] in [0, 64])."""
+    PAT = U32(_PAT55)
+    ms = []
+    rem = off
+    for _ in range(4):
+        v = jnp.where(rem < 16, rem, 16)
+        rem = rem - v
+        sh = U32(2) * (U32(16) - jnp.where(v > 1, v, 1).astype(U32))
+        ms.append(jnp.where(v > 0, PAT >> sh, U32(0)))
+    return ms
 
-    cnt = superblock absolute counts + block-relative uint16 counts; words
-    are the block's 32 symbols (2-bit packed, 16 per word); off in [0, 32).
-    Superblock tables are small and replicated on sharded indexes (their
-    contribution is still gated by ``own`` in the callers).
-    """
-    b = (p_st >> U32(5)).astype(jnp.int32)
-    sbi = (p_st >> U32(15)).astype(jnp.int32)
-    off = (p_st & U32(31)).astype(jnp.int32)
+
+def _row_decode(idx, p, *, rev: bool = False):
+    """(rows [B,8], off int32 [B], own [B]|None) for stored prefix lengths."""
+    blocks = idx.rev_occ_blocks if rev else idx.occ_blocks
+    primary = idx.rev_primary if rev else idx.primary
+    offset_attr = "rev_row_offset" if rev else "row_offset"
+    p_st = _stored_prefix(primary, p)
+    b = (p_st >> U32(6)).astype(I32)
+    off = (p_st & U32(63)).astype(I32)
     rows, own = _gather_rows(idx, blocks, b, offset_attr)
-    sb = jnp.take(superblocks, sbi, axis=0)          # [B,4] absolute counts
-    relAC, relGT = rows[:, 0], rows[:, 1]
-    rel = jnp.stack([relAC & U32(0xFFFF), relAC >> U32(16),
-                     relGT & U32(0xFFFF), relGT >> U32(16)], axis=1)
-    return sb + rel, rows[:, 2:4], off, own
+    return rows, off, own
 
 
-def _inblock_valid_mask(off):
-    """[B,2] uint32 mask selecting the first ``off`` symbols of a block."""
-    widx = jnp.arange(2, dtype=jnp.int32)
-    v = jnp.clip(off[:, None] - 16 * widx[None, :], 0, 16)  # valid syms per word
-    shift = (U32(2) * (U32(16) - jnp.maximum(v, 1).astype(U32)))
-    return jnp.where(v > 0, _PAT55 >> shift, U32(0))
+def _count_base(rows, ms, a):
+    """Flat in-block match count of base ``a`` (int or flat uint32 [B])."""
+    PAT = U32(_PAT55)
+    if isinstance(a, int):
+        aa = U32(a)
+    else:
+        aa = a.astype(U32)
+    tot = None
+    for j in range(4):
+        x = rows[:, 4 + j] ^ (aa * PAT)
+        e = (~x) & ((~x) >> U32(1)) & ms[j]
+        c = lax.population_count(e)
+        tot = c if tot is None else tot + c
+    return tot
 
 
-def _match_bits(words, a):
-    """Bit 2j set iff symbol j of the word equals base a (a broadcastable)."""
-    x = words ^ (a.astype(U32) * _PAT55)
-    return (~x) & ((~x) >> U32(1)) & _PAT55
+def _select4(rows, a, base_col=0):
+    """Flat 4-way column select: rows[:, base_col + a] for a uint32/int32 [B]."""
+    a = a.astype(I32)
+    r01 = jnp.where(a < 1, rows[:, base_col + 0], rows[:, base_col + 1])
+    r23 = jnp.where(a < 3, rows[:, base_col + 2], rows[:, base_col + 3])
+    return jnp.where(a < 2, r01, r23)
 
 
 def occ_lt4(idx, p):
     """[B,4] counts of each base among bwt_full rows [0, p). p: uint32[B]."""
-    cnt, words, off, own = _row_split(idx, idx.occ_blocks, idx.occ_super,
-                                      _stored_prefix(idx.primary, p), "row_offset")
-    vmask = _inblock_valid_mask(off)
+    rows, off, own = _row_decode(idx, p)
+    ms = _word_masks(off)
     outs = []
     for a in range(4):
-        y = _match_bits(words, jnp.uint32(a)) & vmask
-        outs.append(cnt[:, a] + lax.population_count(y).sum(axis=1, dtype=U32))
-    res = jnp.stack(outs, axis=1)
-    if own is not None:
-        res = res * own[:, None].astype(res.dtype)
-    return _psum(idx, res)
+        tot = rows[:, a] + _count_base(rows, ms, a)
+        if own is not None:
+            tot = tot * own.astype(U32)
+        outs.append(tot)
+    return _psum(idx, jnp.stack(outs, axis=1))
+
+
+def occ_lt4_flat(idx, p):
+    """Tuple of 4 flat [B] counts (same values as occ_lt4 columns)."""
+    rows, off, own = _row_decode(idx, p)
+    ms = _word_masks(off)
+    outs = []
+    for a in range(4):
+        tot = rows[:, a] + _count_base(rows, ms, a)
+        if own is not None:
+            tot = tot * own.astype(U32)
+        outs.append(_psum(idx, tot))
+    return tuple(outs)
 
 
 def occ_lt(idx, a, p, *, rev: bool = False):
     """[B] count of base a[B] among bwt_full rows [0, p). a must be 0..3."""
-    blocks = idx.rev_occ_blocks if rev else idx.occ_blocks
-    superblocks = idx.rev_occ_super if rev else idx.occ_super
-    primary = idx.rev_primary if rev else idx.primary
-    offset_attr = "rev_row_offset" if rev else "row_offset"
-    cnt, words, off, own = _row_split(idx, blocks, superblocks,
-                                      _stored_prefix(primary, p), offset_attr)
-    vmask = _inblock_valid_mask(off)
-    y = _match_bits(words, a[:, None]) & vmask
-    inb = lax.population_count(y).sum(axis=1, dtype=U32)
-    res = jnp.take_along_axis(cnt, a[:, None].astype(jnp.int32), axis=1)[:, 0] + inb
+    rows, off, own = _row_decode(idx, p, rev=rev)
+    ms = _word_masks(off)
+    res = _select4(rows, a) + _count_base(rows, ms, a)
     if own is not None:
-        res = res * own.astype(res.dtype)
+        res = res * own.astype(U32)
     return _psum(idx, res)
 
 
@@ -137,68 +168,94 @@ def extend(idx, a, k, l, *, rev: bool = False):
     Callers must mask lanes where a > 3 themselves (N never matches).
     """
     a = jnp.minimum(a, 3).astype(U32)
-    Ca = jnp.take(idx.C, a.astype(jnp.int32))
+    Ca = jnp.take(idx.C, a.astype(I32))
     k2 = Ca + occ_lt(idx, a, k, rev=rev)
     l2 = Ca + occ_lt(idx, a, l + U32(1), rev=rev) - U32(1)
     return k2, l2
 
 
 def extend4(idx, k, l):
-    """All-bases extension: ([B,4] k', [B,4] l') — the ``bwt_2occ4`` analog.
-
-    Two separate occ passes: fusing the ends into one concatenated query
-    batch was measured ~10% SLOWER end-to-end (the concat/split outweighs
-    the gather-efficiency gain at these sizes).
-    """
+    """All-bases extension: ([B,4] k', [B,4] l') — the ``bwt_2occ4`` analog."""
     o_k = occ_lt4(idx, k)
     o_l = occ_lt4(idx, l + U32(1))
     C4 = idx.C[None, 0:4]
     return C4 + o_k, C4 + o_l - U32(1)
 
 
+def extend4_flat(idx, k, l):
+    """Flat all-bases extension: two tuples of 4 [B] vectors (k'_a, l'_a)."""
+    o_k = occ_lt4_flat(idx, k)
+    o_l = occ_lt4_flat(idx, l + U32(1))
+    ks, ls = [], []
+    for a in range(4):
+        Ca = idx.C[a]
+        ks.append(Ca + o_k[a])
+        ls.append(Ca + o_l[a] - U32(1))
+    return tuple(ks), tuple(ls)
+
+
 def bwt_char(idx, r):
     """bwt_full symbol at rank r (garbage at r == primary; mask there)."""
-    j = jnp.where(r < idx.primary, r, r - U32(1))
-    b = (j >> U32(5)).astype(jnp.int32)
-    off = (j & U32(31)).astype(jnp.int32)
-    rows, _ = _gather_rows(idx, idx.occ_blocks, b, "row_offset")
-    word = jnp.take_along_axis(rows, (2 + (off >> 4))[:, None], axis=1)[:, 0]
-    # non-owned rows are zero -> contribute 0; psum recovers the owner's value
-    return _psum(idx, (word >> (U32(2) * (off & 15).astype(U32))) & U32(3))
+    j = jnp.where(r < idx.primary, r, r - U32(1))  # stored index of row r
+    b = (j >> U32(6)).astype(I32)
+    b_off = (j & U32(63)).astype(I32)
+    rows, own = _gather_rows(idx, idx.occ_blocks, b, "row_offset")
+    word = _select4(rows, (b_off >> 4), base_col=4)
+    sym = (word >> (U32(2) * (b_off & 15).astype(U32))) & U32(3)
+    if own is not None:
+        sym = sym * own.astype(U32)
+    return _psum(idx, sym)
 
 
 def lf(idx, r):
-    """LF mapping; LF(primary) = 0."""
-    c = bwt_char(idx, r)
-    res = jnp.take(idx.C, c.astype(jnp.int32)) + occ_lt(idx, c, r + U32(1)) - U32(1)
+    """LF mapping; LF(primary) = 0.  ONE row gather total: the row of the
+    stored symbol at rank r also holds the counts needed for occ(c, r+1)."""
+    j = jnp.where(r < idx.primary, r, r - U32(1))  # stored index of row r
+    b = (j >> U32(6)).astype(I32)
+    b_off = (j & U32(63)).astype(I32)
+    rows, own = _gather_rows(idx, idx.occ_blocks, b, "row_offset")
+    word = _select4(rows, (b_off >> 4), base_col=4)
+    c = (word >> (U32(2) * (b_off & 15).astype(U32))) & U32(3)
+    # occ_lt(c, r+1) = counts_b[c] + in-block matches among first b_off+1 syms
+    ms = _word_masks(b_off + 1)
+    occ = _select4(rows, c) + _count_base(rows, ms, c)
+    if own is not None:
+        occ = occ * own.astype(U32)
+        c = c * own.astype(U32)
+    occ = _psum(idx, occ)
+    c = _psum(idx, c)
+    res = jnp.take(idx.C, c.astype(I32)) + occ - U32(1)
     return jnp.where(r == idx.primary, U32(0), res)
 
 
 def _mark_info(idx, r):
-    """(is_marked[B] bool, mark_rank[B] uint32) for ranks r."""
-    b = (r >> U32(7)).astype(jnp.int32)
-    off = (r & U32(127)).astype(jnp.int32)
-    rows, _ = _gather_rows(idx, idx.mark_blocks, b, "mark_row_offset")
-    cnt = rows[:, 0]
-    bits = rows[:, 1:5]  # [B,4] words of 32 ranks
-    w = jnp.take_along_axis(bits, (off >> 5)[:, None], axis=1)[:, 0]
+    """(is_marked[B] bool, mark_rank[B] uint32) for ranks r — flat decode."""
+    b = (r >> U32(7)).astype(I32)
+    off = (r & U32(127)).astype(I32)
+    rows, own = _gather_rows(idx, idx.mark_blocks, b, "mark_row_offset")
+    w = _select4(rows, (off >> 5), base_col=1)
     bit = (w >> (off & 31).astype(U32)) & U32(1)
-    # rank of marks below r inside the block
-    wi = jnp.arange(4, dtype=jnp.int32)
-    v = jnp.clip(off[:, None] - 32 * wi[None, :], 0, 32)
-    full = v >= 32
-    shift = (U32(32) - jnp.clip(v, 1, 31).astype(U32))
-    wmask = jnp.where(full, U32(0xFFFFFFFF),
-                      jnp.where(v > 0, U32(0xFFFFFFFF) >> shift, U32(0)))
-    below = lax.population_count(bits & wmask).sum(axis=1, dtype=U32)
-    return _psum(idx, bit) == 1, _psum(idx, cnt + below)
+    # rank of marks below r inside the block: per-word masked popcounts
+    below = rows[:, 0]
+    rem = off
+    ONES = U32(0xFFFFFFFF)
+    for j in range(4):
+        v = jnp.where(rem < 32, rem, 32)
+        rem = rem - v
+        vs = jnp.where(v > 31, 31, v).astype(U32)
+        m = jnp.where(v > 31, ONES, (U32(1) << vs) - U32(1))
+        below = below + lax.population_count(rows[:, 1 + j] & m)
+    if own is not None:
+        bit = bit * own.astype(U32)
+        below = below * own.astype(U32)
+    return _psum(idx, bit) == 1, _psum(idx, below)
 
 
 def _sample_lookup(idx, mrank):
     ax = getattr(idx, "shard_axis", None)
-    mrank = mrank.astype(jnp.int32)
+    mrank = mrank.astype(I32)
     if ax is None:
-        return jnp.take(idx.samples, mrank)
+        return lax.optimization_barrier(jnp.take(idx.samples, mrank))
     off = idx.sample_offset
     local = mrank - off
     own = (local >= 0) & (local < idx.samples.shape[0])

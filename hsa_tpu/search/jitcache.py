@@ -15,8 +15,8 @@ from types import SimpleNamespace
 
 import jax
 
-_ARRAY_FIELDS = ("C", "occ_blocks", "occ_super", "mark_blocks", "samples")
-_REV_FIELDS = ("rev_occ_blocks", "rev_occ_super")
+_ARRAY_FIELDS = ("C", "occ_blocks", "mark_blocks", "samples")
+_REV_FIELDS = ("rev_occ_blocks",)
 
 
 def split_idx(idx):
