@@ -44,7 +44,10 @@ def get_index():
     idx_path = os.path.join(CACHE, f"idx_{GENOME_MBP}M.npz")
     txt_path = os.path.join(CACHE, f"txt_{GENOME_MBP}M.npy")
     if os.path.exists(idx_path) and os.path.exists(txt_path):
-        return DeviceIndex.load(idx_path), np.load(txt_path, mmap_mode="r")
+        try:
+            return DeviceIndex.load(idx_path), np.load(txt_path, mmap_mode="r")
+        except ValueError:
+            pass  # stale layout version: rebuild below
     n = GENOME_MBP * 1_000_000
     t = np.random.RandomState(7).randint(0, 4, n).astype(np.int8)
     di = build_device_index(t, sa_intv=32, with_reverse=True)

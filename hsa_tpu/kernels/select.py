@@ -1,0 +1,141 @@
+"""Pallas top-K selection kernels for the beam engine.
+
+Why Pallas: on the target XLA/TPU backend, EVERY cross-row combination
+primitive placed inside a ``lax.scan`` — ``lax.sort``, ``lax.top_k``,
+axis reductions, even unrolled pairwise min-trees — triggers a slow
+scalar lowering AND permanently degrades the whole process (~1.4 ms per
+dispatch thereafter; docs/TPU_NOTES.md).  Mosaic-compiled kernels are
+exempt: in-kernel sublane reductions vectorize normally and leave the
+process clean (measured: a 20-step scan with in-kernel selection runs
+in ~0.1 ms where the XLA-sort variant takes 80 ms and poisons).
+
+Layout contract: candidate matrices are **row-major [C, B]** — candidate
+slots on the (sublane) row axis, reads on the lane axis.  Keys embed
+``score << KEY_SH | column`` with column unique per row, so iterative-min
+selection is deterministic without a stable sort.  SENT (0x7FFF0000)
+marks invalid lanes; NOTE 0xFFFFFFFF must never be used as a sentinel
+(it independently triggers the degraded mode).
+
+The kernels run in interpret mode off-TPU (CPU test suite).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+KEY_SH = 14                      # key = score << KEY_SH | column
+SENT = np.uint32(0x7FFF0000)     # invalid-key sentinel (NOT 0xffffffff!)
+SCORE_CAP = int(SENT) >> KEY_SH  # scores at/above this are "no hit"
+_SENT_I = np.int32(0x7FFF0000)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_select(C: int, B: int, K: int, n_pay: int, with_window: bool,
+                  interpret: bool, lanes: int):
+    grid = (B // lanes,)
+
+    def kern(*refs):
+        # ins: key, payload[n_pay], [window]; outs: okey, payload outs, ndrop
+        key_ref = refs[0]
+        pay_refs = refs[1:1 + n_pay]
+        pos = 1 + n_pay
+        key = key_ref[:].astype(I32)
+        if with_window:
+            win = refs[pos][:].astype(I32)      # [1, lanes]
+            pos += 1
+            key = jnp.where((key >> KEY_SH) > win, _SENT_I, key)
+        okey_ref = refs[pos]
+        pay_out = refs[pos + 1:pos + 1 + n_pay]
+        ndrop_ref = refs[pos + 1 + n_pay]
+        pays = [r[:].astype(I32) for r in pay_refs]
+        nvalid = jnp.sum((key < _SENT_I).astype(I32), axis=0)
+        ndrop_ref[0, :] = jnp.maximum(nvalid - K, 0).astype(U32)
+        for s in range(K):
+            m = jnp.min(key, axis=0)
+            hit = key == m[None, :]
+            okey_ref[s, :] = m.astype(U32)
+            for r, p in zip(pay_out, pays):
+                r[s, :] = jnp.sum(jnp.where(hit, p, 0), axis=0).astype(U32)
+            key = jnp.where(hit, _SENT_I, key)
+
+    in_specs = [pl.BlockSpec((C, lanes), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)] * (1 + n_pay)
+    if with_window:
+        in_specs.append(pl.BlockSpec((1, lanes), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+    out_specs = ([pl.BlockSpec((K, lanes), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)] * (1 + n_pay)
+                 + [pl.BlockSpec((1, lanes), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)])
+    out_shape = ([jax.ShapeDtypeStruct((K, B), jnp.uint32)] * (1 + n_pay)
+                 + [jax.ShapeDtypeStruct((1, B), jnp.uint32)])
+    return pl.pallas_call(kern, grid=grid, in_specs=in_specs,
+                          out_specs=out_specs, out_shape=out_shape,
+                          interpret=interpret)
+
+
+def select_topk_reference(key, payloads, K: int, window=None):
+    """Pure-XLA reference of select_topk (multi-operand sort).
+
+    Used on CPU (tests; none of the TPU pathologies apply there) and as
+    the semantics oracle for the Pallas kernel.  Bit-identical to the
+    kernel: keys are unique, so sort order is fully determined.
+    """
+    C, B = key.shape
+    if window is not None:
+        win = window.astype(jnp.uint32).reshape(1, B)
+        key = jnp.where((key >> KEY_SH) > win, jnp.uint32(SENT) | key, key)
+    nvalid = (key < SENT).sum(axis=0, dtype=I32)
+    ndrop = jnp.maximum(nvalid - K, 0).astype(U32)
+    sk, *pouts = jax.lax.sort((key, *payloads), dimension=0, num_keys=1)
+    return sk[:K], tuple(p[:K] for p in pouts), ndrop
+
+
+def select_topk(key, payloads, K: int, window=None, *, interpret=None,
+                lanes: int = 512):
+    """Top-K smallest-key rows of [C, B] matrices.
+
+    key:      uint32 [C, B], SENT where invalid, unique keys per column
+              (embed the row index in the low KEY_SH bits)
+    payloads: tuple of uint32 [C, B] carried along with the keys
+    window:   optional uint32 [B] or [1, B] max allowed score; key rows
+              whose score field exceeds it are invalidated first
+    Returns (okey [K,B] uint32, payload outs tuple [K,B], ndrop [B] uint32
+    = per-read count of valid candidates beyond K).
+    """
+    C, B = key.shape
+    if interpret is None:
+        if jax.default_backend() == "cpu":
+            # CPU: sort-based reference (fast to compile; the kernel itself
+            # is covered by tests/test_select_kernel.py in interpret mode)
+            return select_topk_reference(key, payloads, K, window)
+        interpret = False
+    lanes = min(lanes, B)
+    pad = (-B) % lanes
+    Bp = B + pad
+    args = [key, *payloads]
+    if pad:
+        args = [jnp.pad(a, ((0, 0), (0, pad)), constant_values=int(SENT))
+                for a in args]
+    if window is not None:
+        w = window.astype(jnp.uint32).reshape(1, B)
+        if pad:
+            w = jnp.pad(w, ((0, 0), (0, pad)))
+        args.append(w)
+    fn = _build_select(C, Bp, K, len(payloads), window is not None,
+                       bool(interpret), lanes)
+    outs = fn(*args)
+    okey = outs[0][:, :B]
+    pouts = tuple(o[:, :B] for o in outs[1:1 + len(payloads)])
+    ndrop = outs[-1][0, :B]
+    return okey, pouts, ndrop

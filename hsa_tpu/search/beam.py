@@ -6,29 +6,39 @@ Thousands of reads advance SA-interval *frontiers* in lockstep.  Each read
 owns ``W`` frontier slots (states); one step expands every live state into
 up to 9 children — 4 match/mismatch (one per base), 1 insertion, 4
 deletions — scores them with the Appendix-A budgets, and keeps the best
-``W`` by score (``lax.top_k``).  Completed states (i == 0) migrate into a
-per-read hit buffer of capacity ``H``.
+``W`` by score.  Completed states (i == 0) migrate into a per-read hit
+buffer of capacity ``H``.
 
-Performance layout (this is the hot loop of the whole framework): a state
-is THREE uint32 words — k, l, and a bit-packed ``meta`` word::
+Implementation discipline (docs/TPU_NOTES.md — every rule below is the
+result of a measured failure mode of the target XLA/TPU backend):
 
-    meta = i | nmm<<9 | ngapo<<13 | ngape<<16 | seed_mm<<20 | st<<24
-
-so the per-step top-W selection costs one ``top_k`` over score keys plus a
-SINGLE ``take_along_axis`` gather of the packed [B, 9W, 3] candidate
-array; liveness and scores are re-derived from the returned top-k *values*
-(separate per-field gathers were ~7x the cost of the occ pass itself).
-The hit-buffer merge runs under ``lax.cond`` — completions only happen in
-the last ~(max_gapo+max_gape+1) steps of a read.
+- The whole search is ONE ``lax.scan``; index tables arrive as jit
+  arguments (never closures).
+- Inside the scan, XLA-side code is restricted to: row gathers from
+  argument tables, flat [B*W] elementwise chains, [rows, B] (lane-major)
+  elementwise chains, concatenation, and static slicing.  No sorts,
+  top_k, axis reductions, scatters, 0xFFFFFFFF literals, or
+  small-minor-dim broadcast chains — each of those permanently degrades
+  the process.
+- All cross-row work (top-W selection, hit-buffer merge, drop counting,
+  best-score tracking) happens in the Pallas kernels of
+  :mod:`hsa_tpu.kernels.select`, which compile through Mosaic and are
+  exempt from the degradation.
+- States are transposed **[W, B]** (slots on rows, reads on lanes); the
+  candidate matrices are [9W, B].  Per-read constants are pre-broadcast
+  to flat [B*W] outside the scan.
 
 Parity contract (SURVEY.md §7.3.1): the oracle's accepted hit set is
 order-independent, so this engine reproduces it exactly *provided no valid
 candidate is dropped* by the top-W selection or the hit buffer.  Both drop
 events are counted and returned (``n_live_dropped`` / ``n_hits_dropped``);
-a nonzero count on a read is a parity alarm for that read.
+a nonzero count on a read is a parity alarm for that read.  (The hit-drop
+counter may overcount when more than H hits exist of which some fall
+outside the final score window — a conservative, escalation-safe bias.)
 
-Field limits implied by the packing: read length <= 511, nmm <= 15,
-ngapo <= 7, ngape <= 15, seed diffs <= 15 (asserted).
+Field limits implied by the meta packing: read length <= 511, nmm <= 15,
+ngapo <= 7, ngape <= 15, seed diffs <= 15 (asserted); beam widths up to
+W=1820 (9W < 2^14 key columns).
 """
 
 from __future__ import annotations
@@ -39,10 +49,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..kernels.select import select_topk, KEY_SH, SENT
+
 U32 = jnp.uint32
 I32 = jnp.int32
 INF = jnp.int32(1 << 29)
-_KEYMAX = jnp.int32(1 << 30)
+_SCORE_NOHIT = 0x10000  # score field values at/above this mean "no hit"
 M_, I_, D_ = 0, 1, 2
 
 # meta bit layout
@@ -79,20 +91,6 @@ class BeamResult(NamedTuple):
     n_hits_dropped: jnp.ndarray  # int32[B]
 
 
-def _select_packed(packed, valid, score, K: int):
-    """Keep the K lowest-score valid rows of packed [B, N, 3].
-
-    Returns (packed[B,K,3], valid[B,K], score[B,K], n_valid[B]).
-    Liveness/score come from the top-k values — no extra gathers.
-    """
-    key = jnp.where(valid, _KEYMAX - score, I32(-1))
-    vals, idxs = lax.top_k(key, K)
-    out = jnp.take_along_axis(packed, idxs[:, :, None], axis=1)
-    out_valid = vals > -1
-    out_score = jnp.where(out_valid, _KEYMAX - vals, INF)
-    return out, out_valid, out_score, valid.sum(axis=1, dtype=I32)
-
-
 def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
                 beam_width: int | None = None, max_hits: int = 32) -> BeamResult:
     """Run the inexact search for a whole batch.
@@ -108,8 +106,10 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
     W = beam_width or opt.beam_width
     H = max_hits
     B, Lmax = reads_fwd.shape
+    BW = B * W
     assert Lmax < (1 << _I_BITS), "read length exceeds packed-state limit (511)"
     assert opt.max_gapo <= 7 and opt.max_gape <= 15 and opt.max_seed_diff <= 15
+    assert 9 * W < (1 << KEY_SH), "beam width exceeds selection-key column field"
     reads_fwd = reads_fwd.astype(I32)
     lens = lens.astype(I32)
     # budgets above 15 cannot be represented in the 4-bit nmm packing; the
@@ -125,67 +125,76 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
     # (D clamps at 31: budgets are <= 15, so the pruning test is unchanged)
     Dshift = jnp.concatenate([jnp.zeros((B, 1), I32), D.astype(I32)], axis=1)
     Dc = jnp.minimum(Dshift, 31)
-    combo = (reads_fwd | (Dc[:, :Lmax] << 3) | (Dc[:, 1:Lmax + 1] << 8))
+    combo = (reads_fwd | (Dc[:, :Lmax] << 3) | (Dc[:, 1:Lmax + 1] << 8)).reshape(-1)
+    combo = lax.optimization_barrier(combo)
 
-    # frontier: packed [B, W, 3] (k, l, meta) + score + live
-    f0 = jnp.zeros((B, W, 3), U32)
-    f0 = f0.at[:, 0, 1].set(jnp.full(B, idx.n, U32))
-    f0 = f0.at[:, 0, 2].set(lens.astype(U32))  # i = len, all else 0, st = M
-    live0 = jnp.zeros((B, W), bool).at[:, 0].set(lens > 0)
-    score0 = jnp.zeros((B, W), I32)
+    def bc(x):  # per-read value -> flat [W*B], w-major (lane = read)
+        return jnp.broadcast_to(x[None, :], (W, B)).reshape(-1)
 
-    hits0 = jnp.zeros((B, H, 3), U32)
-    hitsv0 = jnp.zeros((B, H), bool)
-    hitss0 = jnp.full((B, H), INF, I32)
-    best0 = jnp.full(B, INF, I32)
-    drops0 = jnp.zeros(B, I32)
+    # loop-invariant flat broadcasts / constants (computed OUTSIDE the scan)
+    mdF = bc(max_diff)
+    lensF = bc(lens)
+    seedF = bc(lens - opt.seed_len)      # in_seed iff i > seed_start
+    rowL = bc(jnp.arange(B, dtype=I32) * Lmax)
 
-    # static specialization: no gap children at all when gap opens are
-    # disabled (mismatch-only configs get 4W candidates instead of 9W)
     with_gaps = opt.max_gapo > 0
+    G = 9 if with_gaps else 4            # candidate groups
+    HG = 5 if with_gaps else 4           # read-consuming groups (can complete)
+    C = G * W
+    HC = HG * W
+    colC = jnp.broadcast_to(jnp.arange(C, dtype=U32)[:, None], (C, B))
+    colM = jnp.broadcast_to(jnp.arange(H + HC, dtype=U32)[:, None], (H + HC, B))
+    rowH = jnp.broadcast_to(jnp.arange(H, dtype=U32)[:, None], (H, B))
+
+    # frontier init: slot 0 (row 0) holds [0, n], i = len
+    first = jnp.broadcast_to((jnp.arange(W, dtype=I32) == 0)[:, None],
+                             (W, B)).reshape(-1)
+    k0 = jnp.zeros(BW, U32)
+    l0 = jnp.where(first, jnp.uint32(idx.n), U32(0))
+    meta0 = jnp.where(first & (lensF > 0), lensF.astype(U32), U32(0))
+    score0 = jnp.zeros(BW, I32)
+    live0 = first & (lensF > 0)
+
+    hkey0 = jnp.full((H, B), SENT, U32) | rowH   # invalid, unique columns
+    hk0 = jnp.zeros((H, B), U32)
+    hl0 = jnp.zeros((H, B), U32)
+    hm0 = jnp.zeros((H, B), U32)
+    best0 = jnp.full(B, jnp.uint32(_SCORE_NOHIT), U32)
+    drops0 = jnp.zeros(B, U32)
+
     n_steps = Lmax + (opt.max_gapo + opt.max_gape if with_gaps else 0)
-    seed_start = lens - opt.seed_len  # in_seed iff i > seed_start
 
     def step(carry, _):
-        f, live, score, hits, hitsv, hitss, best, ldrop, hdrop = carry
+        (k, l, meta, score, live,
+         hkey, hk, hl, hm, best, ldrop, hdrop) = carry
 
-        k, l, meta = f[:, :, 0], f[:, :, 1], f[:, :, 2]
         i, nmm, ngapo, ngape, seed_mm, st = _unpack(meta)
         ndiff = nmm + ngapo + ngape
         expand = live & (i > 0)
-        bidx = jnp.clip(i - 1, 0, Lmax - 1)
-        cw = jnp.take_along_axis(combo, bidx, axis=1)          # [B, W]
+        gidx = rowL + jnp.clip(i - 1, 0, Lmax - 1)
+        cw = lax.optimization_barrier(jnp.take(combo, gidx))   # [W*B]
         b = cw & 7
         lb_im1 = (cw >> 3) & 31   # Dshift[i-1]: bound for the i-1 children
-        in_seed = (i > seed_start[:, None]).astype(I32)
+        in_seed = (i > seedF).astype(I32)
 
-        # one fused occ pass for all 4 bases at both interval ends
-        k4, l4 = fm.extend4(idx, k.reshape(-1), l.reshape(-1))
-        k4 = k4.reshape(B, W, 4)
-        l4 = l4.reshape(B, W, 4)
-        nonempty = k4 <= l4
+        # one fused occ pass for all 4 bases at both interval ends (flat)
+        k4, l4 = fm.extend4_flat(idx, k, l)
 
-        ks, ls, metas, scores, valids = [], [], [], [], []
+        groups = []  # (valid, k, l, meta, score) flats, w-major
 
-        def add(valid, kk, ll, mm, sc):
-            ks.append(kk); ls.append(ll); metas.append(mm)
-            scores.append(sc); valids.append(valid)
-
-        # 4 match/mismatch children (consume a read base)
-        for a in range(4):
+        for a in range(4):  # match/mismatch children (consume a read base)
             ismm = (b != a).astype(I32)
             seed_add = ismm * in_seed
             child_meta = _pack(i - 1, nmm + ismm, ngapo, ngape,
-                               seed_mm + seed_add, jnp.full_like(i, M_))
+                               seed_mm + seed_add, jnp.zeros_like(i))
             child_ndiff = ndiff + ismm
-            ok = (expand & nonempty[:, :, a]
-                  & (child_ndiff + lb_im1 <= max_diff[:, None])
+            ok = (expand & (k4[a] <= l4[a])
+                  & (child_ndiff + lb_im1 <= mdF)
                   & (seed_mm + seed_add <= opt.max_seed_diff))
-            add(ok, k4[:, :, a], l4[:, :, a], child_meta,
-                score + ismm * s_mm)
+            groups.append((ok, k4[a], l4[a], child_meta, score + ismm * s_mm))
 
         if with_gaps:
-            consumed = lens[:, None] - i
+            consumed = lensF - i
             indel_ok = (consumed >= skip) & (i >= skip)
             lb_i = (cw >> 8) & 31  # Dshift[i]: bound for deletion children
             open_ = st == M_
@@ -200,66 +209,81 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
             child_meta = _pack(i - 1, nmm, ngapo + d_gapo, ngape + d_gape,
                                seed_mm + in_seed, jnp.full_like(i, I_))
             ok = (expand & ins_ok
-                  & (ndiff + 1 + lb_im1 <= max_diff[:, None])
+                  & (ndiff + 1 + lb_im1 <= mdF)
                   & (seed_mm + in_seed <= opt.max_seed_diff))
-            add(ok, k, l, child_meta, score + gap_cost)
+            groups.append((ok, k, l, child_meta, score + gap_cost))
 
             # 4 deletion children (consume a genome base, i unchanged)
             for a in range(4):
                 child_meta = _pack(i, nmm, ngapo + d_gapo, ngape + d_gape,
                                    seed_mm + in_seed, jnp.full_like(i, D_))
-                ok = (expand & del_ok & nonempty[:, :, a]
-                      & (ndiff + 1 + lb_i <= max_diff[:, None])
+                ok = (expand & del_ok & (k4[a] <= l4[a])
+                      & (ndiff + 1 + lb_i <= mdF)
                       & (seed_mm + in_seed <= opt.max_seed_diff))
-                add(ok, k4[:, :, a], l4[:, :, a], child_meta, score + gap_cost)
+                groups.append((ok, k4[a], l4[a], child_meta, score + gap_cost))
 
-        kc = jnp.concatenate(ks, axis=1)          # [B, 9W] (4W when no gaps)
-        lc = jnp.concatenate(ls, axis=1)
-        metac = jnp.concatenate(metas, axis=1)
-        scorec = jnp.concatenate(scores, axis=1)
-        V = jnp.concatenate(valids, axis=1)
-        packed = jnp.stack([kc, lc, metac], axis=2)  # [B, 9W, 3]
+        # per-group live/hit validity + keys, all flat; then [rows, B] mats
+        child_i = [(g[3] & U32(0x1FF)).astype(I32) for g in groups]
+        skey = [g[4].astype(U32) << KEY_SH for g in groups]
 
-        child_i = (metac & U32(0x1FF)).astype(I32)
-        hitmask = V & (child_i == 0)
-        step_best = jnp.min(jnp.where(hitmask, scorec, INF), axis=1)
-        best = jnp.minimum(best, step_best)
-        window = scorec <= (best[:, None] + s_mm)
-        hitmask = hitmask & window
-        livemask = V & (child_i > 0) & window
+        def matT(xs):
+            return jnp.concatenate([x.reshape(W, B) for x in xs], axis=0)
 
-        # --- frontier selection (one top_k + one packed gather) ---
-        f2, live2, score2, n_valid = _select_packed(packed, livemask, scorec, W)
-        ldrop = ldrop + jnp.maximum(n_valid - W, 0)
+        live_key = matT([jnp.where(g[0] & (ci > 0), sk, SENT)
+                         for g, ci, sk in zip(groups, child_i, skey)]) | colC
+        kc = matT([g[1] for g in groups])
+        lc = matT([g[2] for g in groups])
+        mc = matT([g[3] for g in groups])
 
-        # --- hit-buffer merge, only when some candidate completed ---
-        # only read-consuming children (match/mismatch + insertion) can complete
-        HC = (5 if with_gaps else 4) * W
+        hitg = groups[:HG]
+        hit_key = matT([jnp.where(g[0] & (ci == 0), sk, SENT)
+                        for g, ci, sk in zip(hitg, child_i[:HG], skey[:HG])])
 
-        def do_merge(args):
-            hits, hitsv, hitss, hdrop = args
-            merged = jnp.concatenate([hits, packed[:, :HC]], axis=1)
-            mvalid = jnp.concatenate([hitsv, hitmask[:, :HC]], axis=1)
-            mscore = jnp.concatenate([hitss, scorec[:, :HC]], axis=1)
-            h2, hv2, hs2, n_v = _select_packed(merged, mvalid, mscore, H)
-            return h2, hv2, hs2, hdrop + jnp.maximum(n_v - H, 0)
+        # --- hit merge (kernel 1): old buffer + completion candidates ---
+        mkey = jnp.concatenate([hkey, hit_key | colM[H:]], axis=0)
+        mk = jnp.concatenate([hk, kc[:HC]], axis=0)
+        ml = jnp.concatenate([hl, lc[:HC]], axis=0)
+        mm_ = jnp.concatenate([hm, mc[:HC]], axis=0)
+        okey, (hk2, hl2, hm2), hdrop_i = select_topk(
+            mkey, (mk, ml, mm_), H)
+        cand_best = okey[0] >> KEY_SH                   # row 0 = best hit
+        # NOTE: jnp.minimum on uint32 is a degraded-lowering risk; use where
+        best2 = jnp.where(cand_best < best, cand_best, best)
+        hdrop = hdrop + hdrop_i
+        # re-key buffer rows so columns stay unique next step
+        hkey2 = ((okey >> KEY_SH) << KEY_SH) | rowH
 
-        hits, hitsv, hitss, hdrop = lax.cond(
-            jnp.any(hitmask), do_merge, lambda a: a, (hits, hitsv, hitss, hdrop))
+        # --- frontier selection (kernel 2), windowed at best + s_mm ---
+        win = best2 + U32(s_mm)
+        lkey, (k2, l2, m2), ldrop_i = select_topk(
+            live_key, (kc, lc, mc), W, window=win)
+        ldrop = ldrop + ldrop_i
+        live2 = (lkey < SENT).reshape(-1)
+        score2 = jnp.where(lkey < SENT, lkey >> KEY_SH, U32(0)).reshape(-1).astype(I32)
 
-        return (f2, live2, score2, hits, hitsv, hitss, best, ldrop, hdrop), None
+        return ((k2.reshape(-1), l2.reshape(-1), m2.reshape(-1),
+                 score2, live2,
+                 hkey2, hk2, hl2, hm2, best2, ldrop, hdrop), None)
 
-    carry0 = (f0, live0, score0, hits0, hitsv0, hitss0, best0, drops0, drops0)
-    (f, live, score, hits, hitsv, hitss, best, ldrop, hdrop), _ = lax.scan(
+    carry0 = (k0, l0, meta0, score0, live0,
+              hkey0, hk0, hl0, hm0, best0, drops0, drops0)
+    (k, l, meta, score, live,
+     hkey, hk, hl, hm, best, ldrop, hdrop), _ = lax.scan(
         step, carry0, None, length=n_steps)
 
-    # final window filter (scores may beat earlier hits later in the run)
-    hitsv = hitsv & (hitss <= best[:, None] + s_mm)
-    hi, hnmm, hgapo, hgape, _, _ = _unpack(hits[:, :, 2])
-    return BeamResult(hit_score=hitss, hit_k=hits[:, :, 0], hit_l=hits[:, :, 1],
-                      hit_nmm=hnmm, hit_ngapo=hgapo, hit_ngape=hgape,
-                      hit_valid=hitsv, best_score=best,
-                      n_live_dropped=ldrop, n_hits_dropped=hdrop)
+    # post-scan (runs once): final window filter + unpack + transpose out
+    hscore = (hkey >> KEY_SH).astype(I32)                   # [H, B]
+    bestT = jnp.broadcast_to(best[None, :], (H, B)).astype(I32)
+    hvalid = (hscore < _SCORE_NOHIT) & (hscore <= bestT + s_mm)
+    hi, hnmm, hgapo, hgape, _, _ = _unpack(hm)
+    best_i = jnp.where(best >= jnp.uint32(_SCORE_NOHIT), INF,
+                       best.astype(I32))
+    return BeamResult(hit_score=jnp.where(hvalid, hscore, INF).T,
+                      hit_k=hk.T, hit_l=hl.T,
+                      hit_nmm=hnmm.T, hit_ngapo=hgapo.T, hit_ngape=hgape.T,
+                      hit_valid=hvalid.T, best_score=best_i,
+                      n_live_dropped=ldrop.astype(I32),
+                      n_hits_dropped=hdrop.astype(I32))
 
 
 _jit_cache = {}
@@ -274,8 +298,8 @@ def _jitted(idx, kind, body):
     scan-based passes costs more than the device work itself).  Keys include
     every value baked into the closure (index identity, kind, opt).  Index
     tables are passed as jit ARGUMENTS, not closures — closure arrays become
-    HLO literals and multi-GB indexes then break the remote-compile path
-    (see search.jitcache)."""
+    HLO literals, break the remote-compile path on multi-GB indexes AND put
+    XLA's gather onto a ~100x slower lowering (docs/TPU_NOTES.md)."""
     from .jitcache import jit_over_idx
     key = (id(idx), kind)
     f = _jit_cache.get(key)
