@@ -112,16 +112,21 @@ def cmd_aln(argv):
     names, reads, quals = _load_reads(a.reads)
     flat = dict(score=[], nmm=[], ngapo=[], ngape=[], k=[], l=[])
     counts_f, counts_r = [], []
+    # two-phase: search all batches device-side, then one readback pass
+    handles = []
     for s, bn, br, bq in _iter_batches(names, reads, quals, a.batch):
-        hf, hr = al.search_batch(br, beam_width=a.beam_width)
+        handles.append((s, len(br), al.search_batch_device(br, beam_width=a.beam_width)))
+        print(f"[hsa-tpu aln] search {s + len(br)}/{len(reads)}", file=sys.stderr)
+    for s, nb, h in handles:
+        hf, hr = al.hits_from_device(h)
         for hits_side, counts in ((hf, counts_f), (hr, counts_r)):
             for hits in hits_side:
                 counts.append(len(hits))
-                for h in hits:
-                    flat["score"].append(h.score); flat["nmm"].append(h.nmm)
-                    flat["ngapo"].append(h.ngapo); flat["ngape"].append(h.ngape)
-                    flat["k"].append(h.k); flat["l"].append(h.l)
-        print(f"[hsa-tpu aln] {s + len(br)}/{len(reads)} reads", file=sys.stderr)
+                for hh in hits:
+                    flat["score"].append(hh.score); flat["nmm"].append(hh.nmm)
+                    flat["ngapo"].append(hh.ngapo); flat["ngape"].append(hh.ngape)
+                    flat["k"].append(hh.k); flat["l"].append(hh.l)
+        print(f"[hsa-tpu aln] {s + nb}/{len(reads)} reads", file=sys.stderr)
     np.savez_compressed(a.out, counts_f=np.asarray(counts_f, np.int32),
                         counts_r=np.asarray(counts_r, np.int32),
                         batch=np.int64(a.batch),
@@ -252,6 +257,11 @@ def cmd_align(argv):
     if done:
         met.log(f"resuming at read {done}/{len(reads)}")
     profiled = False
+    # Two-phase flow (docs/TPU_NOTES.md): phase A searches EVERY batch with
+    # results left on device (the process stays in the fast execution mode —
+    # the first device->host readback permanently degrades it), then phase B
+    # reads back and resolves on host.
+    handles = []
     for s, bn, br, bq in _iter_batches(names, reads, quals, a.batch):
         if s + len(br) <= done:
             continue
@@ -259,12 +269,20 @@ def cmd_align(argv):
             import jax
             profiled = True
             with jax.profiler.trace(a.profile):
-                al.align(br, bn, bq, read_offset=s, beam_width=a.beam_width,
-                         sopt=SamseOpt(n_multi=a.n_multi))
+                h = al.search_batch_device(br, beam_width=a.beam_width)
             met.log(f"profiler trace written to {a.profile}")
+        else:
+            with met.timer("search"):
+                h = al.search_batch_device(br, beam_width=a.beam_width)
+        handles.append((s, bn, br, bq, h))
+        met.log(f"search {s + len(br)}/{len(reads)} reads")
+    if handles:  # wait for all device work before the first readback
+        import jax
+        jax.block_until_ready(handles[-1][4][0].best_score)
+    for s, bn, br, bq, h in handles:
         with met.timer("align"):
-            recs = al.align(br, bn, bq, read_offset=s, beam_width=a.beam_width,
-                            sopt=SamseOpt(n_multi=a.n_multi))
+            recs = al.resolve_handle(h, br, bn, bq, read_offset=s,
+                                     sopt=SamseOpt(n_multi=a.n_multi))
         met.note_batch(len(br), recs, al.last_overflow)
         with met.timer("write"):
             for r in recs:
@@ -328,11 +346,21 @@ def cmd_align_pe(argv):
     out = open(a.out, "w") if a.out else sys.stdout
     out.write(sam_header(al.meta, "align-pe"))
     peopt = PEOpt(max_isize=a.max_isize)
+    handles = []
     for s in range(0, len(reads1), a.batch):
         e = min(s + a.batch, len(reads1))
-        recs = al.align_pe(reads1[s:e], reads2[s:e], names1[s:e],
-                           quals1[s:e], quals2[s:e], read_offset=s,
-                           beam_width=a.beam_width, peopt=peopt)
+        h = al.search_batch_device(list(reads1[s:e]) + list(reads2[s:e]),
+                                   beam_width=a.beam_width)
+        handles.append((s, e, h))
+        print(f"[hsa-tpu align-pe] search {e}/{len(reads1)} pairs", file=sys.stderr)
+    from .resolve.sampe import resolve_batch_pe
+    for s, e, h in handles:
+        hf, hr = al.hits_from_device(h)
+        B = e - s
+        recs = resolve_batch_pe(al.text, al.meta, reads1[s:e], reads2[s:e],
+                                names1[s:e], quals1[s:e], quals2[s:e],
+                                (hf[:B], hr[:B]), (hf[B:], hr[B:]),
+                                al.locate_fn, al.opt, peopt, read_offset=s)
         for r in recs:
             out.write(r.to_sam() + "\n")
         print(f"[hsa-tpu align-pe] {e}/{len(reads1)} pairs", file=sys.stderr)

@@ -60,21 +60,40 @@ class Aligner:
         self.dev = self.di.as_jax()
 
     # -- search ------------------------------------------------------------
+    def search_batch_device(self, reads, beam_width=None, max_hits=32,
+                            ladder=None):
+        """Phase A: both-strand beam search, results LEFT ON DEVICE.
+
+        Returns an opaque handle for :meth:`hits_from_device`.  Performs no
+        device->host transfer — a single readback permanently degrades the
+        process on the target backend (docs/TPU_NOTES.md), so production
+        flows run phase A for many batches before the first readback.
+        """
+        from .search.beam import pack_read_batch, search_device
+        rc = [alphabet.revcomp(r) for r in reads]
+        fwd, lens = pack_read_batch(list(reads) + rc)
+        res = search_device(self.dev, fwd, lens, self.opt,
+                            beam_width=beam_width, max_hits=max_hits,
+                            ladder=ladder or self.ladder)
+        return (res, len(reads))
+
+    def hits_from_device(self, handle):
+        """Phase B: read a search handle back -> (hits_fwd, hits_rc)."""
+        from .search.beam import result_to_hits
+        res, B = handle
+        hits_all = result_to_hits(res)
+        self.last_overflow = (np.asarray(res.n_live_dropped),
+                              np.asarray(res.n_hits_dropped))
+        return hits_all[:B], hits_all[B:]
+
     def search_batch(self, reads, beam_width=None, max_hits=32, ladder=None):
         """Both-strand beam search: returns (hits_fwd, hits_rc) per read.
 
         ``ladder``: adaptive beam escalation widths (see search.adaptive);
         overrides beam_width when given.
         """
-        from .search.beam import align_batch
-        rc = [alphabet.revcomp(r) for r in reads]
-        hits_all, res = align_batch(self.dev, list(reads) + rc, self.opt,
-                                    beam_width=beam_width, max_hits=max_hits,
-                                    ladder=ladder or self.ladder)
-        B = len(reads)
-        self.last_overflow = (np.asarray(res.n_live_dropped),
-                              np.asarray(res.n_hits_dropped))
-        return hits_all[:B], hits_all[B:]
+        return self.hits_from_device(self.search_batch_device(
+            reads, beam_width=beam_width, max_hits=max_hits, ladder=ladder))
 
     def locate_fn(self, ranks: np.ndarray) -> np.ndarray:
         import jax
@@ -98,6 +117,15 @@ class Aligner:
         """reads: list of int8 code arrays -> list of AlnRecord."""
         names = names or [f"read{read_offset + i}" for i in range(len(reads))]
         hf, hr = self.search_batch(reads, beam_width=beam_width, max_hits=max_hits)
+        return resolve_batch_se(self.text, self.meta, reads, names, quals,
+                                hf, hr, self.locate_fn, self.opt, sopt,
+                                read_offset=read_offset)
+
+    def resolve_handle(self, handle, reads, names=None, quals=None, *,
+                       read_offset: int = 0, sopt: SamseOpt | None = None):
+        """Phase B of the two-phase flow: handle -> list of AlnRecord."""
+        names = names or [f"read{read_offset + i}" for i in range(len(reads))]
+        hf, hr = self.hits_from_device(handle)
         return resolve_batch_se(self.text, self.meta, reads, names, quals,
                                 hf, hr, self.locate_fn, self.opt, sopt,
                                 read_offset=read_offset)

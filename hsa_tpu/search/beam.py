@@ -309,18 +309,9 @@ def _jitted(idx, kind, body):
     return f
 
 
-def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None,
-                ladder=None):
-    """Host convenience wrapper: list of code arrays -> per-read hit lists.
-
-    Returns (hits_per_read, result) where hits_per_read[i] is a list of
-    ``oracle.bnb.Hit``-compatible tuples (score, nmm, ngapo, ngape, k, l),
-    deduplicated, sorted like the oracle's output.
-    """
+def pack_read_batch(reads, max_len=None):
+    """Host-side packing: list of code arrays -> (fwd uint8[B,Lmax], lens)."""
     import numpy as np
-    from ..oracle.bnb import Hit
-    from .widths import cal_width_device
-
     Lmax = max_len or max(len(r) for r in reads)
     B = len(reads)
     too_long = max(len(r) for r in reads)
@@ -333,7 +324,23 @@ def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None,
         L = len(r)
         fwd[j, :L] = np.asarray(r, dtype=np.uint8)
         lens[j] = L
-    md = np.array([opt.diff_budget(int(L)) for L in lens], dtype=np.int32)
+    return fwd, lens
+
+
+def search_device(idx, fwd, lens, opt, *, beam_width=None, max_hits=32,
+                  ladder=None):
+    """Device-only search: packed batch -> BeamResult (device arrays).
+
+    Performs NO device->host transfer — the caller decides when to read
+    results back (a single readback permanently degrades the process;
+    docs/TPU_NOTES.md).  ``fwd``/``lens`` are numpy or device arrays.
+    """
+    import numpy as np
+    from .widths import cal_width_device
+
+    B, Lmax = fwd.shape
+    md = np.array([opt.diff_budget(int(L)) for L in np.asarray(lens)],
+                  dtype=np.int32)
     if md.size and md.max() > 15:
         raise ValueError("diff budget > 15 unsupported by the packed beam "
                          "state (and unrealistic for short-read budgets)")
@@ -352,13 +359,18 @@ def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None,
         if ab is None:
             ab = AdaptiveBeam(idx, opt, ladder=ladder, max_hits=max_hits)
             _jit_cache[key] = ab
-        res = ab(fwd, lens, np.asarray(D), md)
-    else:
-        W, H = beam_width, max_hits
-        beam_f = _jitted(idx, ("beam", W or opt.beam_width, H, _opt_key(opt)),
-                         lambda ix, rf, ln, D_, m_: beam_search(
-                             ix, rf, ln, D_, m_, opt, beam_width=W, max_hits=H))
-        res = beam_f(fwd_j, lens_j, D, jnp.asarray(md))
+        return ab(fwd_j, lens_j, D, jnp.asarray(md))
+    W, H = beam_width, max_hits
+    beam_f = _jitted(idx, ("beam", W or opt.beam_width, H, _opt_key(opt)),
+                     lambda ix, rf, ln, D_, m_: beam_search(
+                         ix, rf, ln, D_, m_, opt, beam_width=W, max_hits=H))
+    return beam_f(fwd_j, lens_j, D, jnp.asarray(md))
+
+
+def result_to_hits(res: BeamResult):
+    """Host conversion (reads back!): BeamResult -> per-read sorted hit lists."""
+    import numpy as np
+    from ..oracle.bnb import Hit
     out = []
     hv = np.asarray(res.hit_valid)
     hs = np.asarray(res.hit_score)
@@ -367,7 +379,7 @@ def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None,
     hm = np.asarray(res.hit_nmm)
     ho = np.asarray(res.hit_ngapo)
     he = np.asarray(res.hit_ngape)
-    for j in range(B):
+    for j in range(hv.shape[0]):
         seen = {}
         for h in range(hv.shape[1]):
             if not hv[j, h]:
@@ -380,4 +392,17 @@ def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None,
                 for (k_, l_, nmm, ngapo, ngape), sc in seen.items()]
         hits.sort(key=lambda h: (h.score, h.k, h.l, h.nmm, h.ngapo, h.ngape))
         out.append(hits)
-    return out, res
+    return out
+
+
+def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None,
+                ladder=None):
+    """Host convenience wrapper: list of code arrays -> per-read hit lists.
+
+    Returns (hits_per_read, result).  Reads results back immediately — use
+    :func:`search_device` + :func:`result_to_hits` for the two-phase flow.
+    """
+    fwd, lens = pack_read_batch(reads, max_len)
+    res = search_device(idx, fwd, lens, opt, beam_width=beam_width,
+                        max_hits=max_hits, ladder=ladder)
+    return result_to_hits(res), res
