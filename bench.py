@@ -102,13 +102,13 @@ def main():
     width_f = jit_over_idx(dev, cal_width_device)
     locate_f = jit_over_idx(dev, fm.locate)
 
+    from hsa_tpu.search.adaptive import primary_ranks
+
     def aln_step(reads_fwd, lens, max_diff):
         """width -> adaptive beam -> locate primary hit. NO readback."""
         D = width_f(reads_fwd, lens)
         res = adaptive(reads_fwd, lens, D, max_diff)
-        ranks = jnp.where(res.hit_valid[:, 0], res.hit_k[:, 0],
-                          jnp.uint32(0)).astype(jnp.uint32)
-        pos = locate_f(ranks)
+        pos = locate_f(primary_ranks(res, n))
         return res, pos
 
     t0 = time.time()
@@ -144,8 +144,10 @@ def main():
     reads_per_s = BATCH / dt
 
     # POISONING BOUNDARY — everything after this line runs degraded
-    mapped = float(np.asarray(res.hit_valid.any(axis=1)).mean())
-    overflow = float((np.asarray(res.n_live_dropped) > 0).mean())
+    from hsa_tpu.search.adaptive import finalize_any
+    fin = finalize_any(res, opt.s_mm)
+    mapped = float(np.asarray(fin.hit_valid).any(axis=1).mean())
+    overflow = float((np.asarray(fin.n_live_dropped) > 0).mean())
     print(json.dumps({
         "metric": "reads_per_s_per_chip_k2_100bp",
         "value": round(reads_per_s, 1),

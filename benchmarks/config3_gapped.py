@@ -34,7 +34,9 @@ def main():
     step = jit_over_idx(dev, _step)
 
     dt, res = timeit(step, jnp.asarray(fwd), jnp.asarray(lens), jnp.asarray(md))
-    mapped = float(np.asarray(res.hit_valid.any(axis=1)).mean())
+    from hsa_tpu.search.adaptive import finalize_any
+    res = finalize_any(res, opt.s_mm)
+    mapped = float(np.asarray(res.hit_valid).any(axis=1).mean())
     report("gapped_reads_per_s", B / dt, "reads/s",
            genome_mbp=round(N / 1e6, 1), batch=B, beam_width=W,
            max_diff=int(md[0]), mapped_frac=round(mapped, 4),

@@ -55,7 +55,9 @@ def main():
         return beam(rf, ln, D, md)
 
     dt, res = timeit(step, jnp.asarray(fwd), jnp.asarray(lens), jnp.asarray(md))
-    hv = np.asarray(res.hit_valid.any(axis=1))
+    from hsa_tpu.search.adaptive import finalize_any
+    res = finalize_any(res, opt.s_mm)
+    hv = np.asarray(res.hit_valid).any(axis=1)
     # an end is mapped if either its forward or revcomp search hit
     end_mapped = (hv[:2 * B] | hv[2 * B:]).mean()
     report("paired_pairs_per_s", B / dt, "pairs/s",

@@ -278,7 +278,7 @@ def cmd_align(argv):
         met.log(f"search {s + len(br)}/{len(reads)} reads")
     if handles:  # wait for all device work before the first readback
         import jax
-        jax.block_until_ready(handles[-1][4][0].best_score)
+        jax.block_until_ready(handles[-1][4][0])
     for s, bn, br, bq, h in handles:
         with met.timer("align"):
             recs = al.resolve_handle(h, br, bn, bq, read_offset=s,

@@ -27,7 +27,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.layout import DeviceIndex
-from ..search.beam import beam_search, BeamResult
+from ..search.beam import beam_search, RawBeamResult
 from ..search import fm as _fm
 from ..search.exact import exact_search
 
@@ -133,7 +133,10 @@ class ShardedIndex:
         return lambda reads_rev, lens: jf(reads_rev, lens, *iargs)
 
     def beam_fn(self, opt, beam_width=None, max_hits=32):
-        """jit fn(reads_fwd, lens, D, max_diff) -> BeamResult, data-sharded."""
+        """jit fn(reads_fwd, lens, D, max_diff) -> RawBeamResult, data-sharded.
+
+        Raw [H, B]-layout results (reads on the LANE axis -> sharded along
+        the second dim); finalize on host (search.adaptive.finalize_any)."""
         iargs, ispecs = self._index_args()
 
         def core(reads_fwd, lens, D, max_diff, *idx_arrays):
@@ -141,11 +144,15 @@ class ShardedIndex:
             return beam_search(idx, reads_fwd, lens, D, max_diff, opt,
                                beam_width=beam_width, max_hits=max_hits)
 
+        out_specs = RawBeamResult(
+            hkey=P(None, "data"), hit_k=P(None, "data"),
+            hit_l=P(None, "data"), hit_meta=P(None, "data"),
+            best_raw=P("data"), n_live_dropped=P("data"),
+            n_hits_dropped=P("data"))
         f = jax.shard_map(core, mesh=self.mesh,
                           in_specs=(P("data", None), P("data"), P("data", None),
                                     P("data"), *ispecs),
-                          out_specs=jax.tree.map(lambda _: P("data"),
-                                                 BeamResult(*[0] * 10)),
+                          out_specs=out_specs,
                           check_vma=False)
         jf = jax.jit(f)
         return lambda reads_fwd, lens, D, max_diff: jf(reads_fwd, lens, D,

@@ -41,11 +41,16 @@ _SENT_I = np.int32(0x7FFF0000)
 
 @functools.lru_cache(maxsize=None)
 def _build_select(C: int, B: int, K: int, n_pay: int, with_window: bool,
-                  interpret: bool, lanes: int):
+                  with_accum: bool, interpret: bool, lanes: int):
+    """okey output carries K selected keys plus a final row holding the
+    accumulated drop counter — consuming a dedicated (1, lanes) counter
+    output poisons the process (docs/TPU_NOTES.md), a row of the main
+    output does not."""
     grid = (B // lanes,)
 
     def kern(*refs):
-        # ins: key, payload[n_pay], [window]; outs: okey, payload outs, ndrop
+        # ins: key, payload[n_pay], [window], [accum]
+        # outs: okey, payload outs, ndrop
         key_ref = refs[0]
         pay_refs = refs[1:1 + n_pay]
         pos = 1 + n_pay
@@ -54,12 +59,19 @@ def _build_select(C: int, B: int, K: int, n_pay: int, with_window: bool,
             win = refs[pos][:].astype(I32)      # [1, lanes]
             pos += 1
             key = jnp.where((key >> KEY_SH) > win, _SENT_I, key)
+        if with_accum:
+            acc = refs[pos][:].astype(I32)[0]   # [lanes]
+            pos += 1
+        else:
+            acc = 0
         okey_ref = refs[pos]
         pay_out = refs[pos + 1:pos + 1 + n_pay]
-        ndrop_ref = refs[pos + 1 + n_pay]
         pays = [r[:].astype(I32) for r in pay_refs]
         nvalid = jnp.sum((key < _SENT_I).astype(I32), axis=0)
-        ndrop_ref[0, :] = jnp.maximum(nvalid - K, 0).astype(U32)
+        # drop-count accumulation happens HERE: an XLA-side add of the
+        # kernel's counter output into a scan carry re-triggers the
+        # degraded mode (docs/TPU_NOTES.md); in-kernel it is free
+        okey_ref[K, :] = (acc + jnp.maximum(nvalid - K, 0)).astype(U32)
         for s in range(K):
             m = jnp.min(key, axis=0)
             hit = key == m[None, :]
@@ -70,15 +82,15 @@ def _build_select(C: int, B: int, K: int, n_pay: int, with_window: bool,
 
     in_specs = [pl.BlockSpec((C, lanes), lambda i: (0, i),
                              memory_space=pltpu.VMEM)] * (1 + n_pay)
-    if with_window:
-        in_specs.append(pl.BlockSpec((1, lanes), lambda i: (0, i),
-                                     memory_space=pltpu.VMEM))
-    out_specs = ([pl.BlockSpec((K, lanes), lambda i: (0, i),
-                               memory_space=pltpu.VMEM)] * (1 + n_pay)
-                 + [pl.BlockSpec((1, lanes), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM)])
-    out_shape = ([jax.ShapeDtypeStruct((K, B), jnp.uint32)] * (1 + n_pay)
-                 + [jax.ShapeDtypeStruct((1, B), jnp.uint32)])
+    n_extra = (1 if with_window else 0) + (1 if with_accum else 0)
+    in_specs += [pl.BlockSpec((1, lanes), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)] * n_extra
+    out_specs = ([pl.BlockSpec((K + 1, lanes), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec((K, lanes), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)] * n_pay)
+    out_shape = ([jax.ShapeDtypeStruct((K + 1, B), jnp.uint32)]
+                 + [jax.ShapeDtypeStruct((K, B), jnp.uint32)] * n_pay)
     return pl.pallas_call(kern, grid=grid, in_specs=in_specs,
                           out_specs=out_specs, out_shape=out_shape,
                           interpret=interpret)
@@ -101,8 +113,8 @@ def select_topk_reference(key, payloads, K: int, window=None):
     return sk[:K], tuple(p[:K] for p in pouts), ndrop
 
 
-def select_topk(key, payloads, K: int, window=None, *, interpret=None,
-                lanes: int = 512):
+def select_topk(key, payloads, K: int, window=None, drop_accum=None, *,
+                interpret=None, lanes: int = 512):
     """Top-K smallest-key rows of [C, B] matrices.
 
     key:      uint32 [C, B], SENT where invalid, unique keys per column
@@ -110,15 +122,26 @@ def select_topk(key, payloads, K: int, window=None, *, interpret=None,
     payloads: tuple of uint32 [C, B] carried along with the keys
     window:   optional uint32 [B] or [1, B] max allowed score; key rows
               whose score field exceeds it are invalidated first
-    Returns (okey [K,B] uint32, payload outs tuple [K,B], ndrop [B] uint32
-    = per-read count of valid candidates beyond K).
+    drop_accum: optional uint32 [1, B] running drop counter; the returned
+              counter is drop_accum + this call's drops (the add MUST
+              happen in-kernel: adding the counter output into a scan
+              carry XLA-side re-triggers the degraded mode)
+    Returns (okeyd [K+1,B] uint32 — rows 0..K-1 selected keys, row K the
+    drop counter —, payload outs tuple [K,B], ndrop [1,B] view of row K).
+    Callers consuming the counter should read okeyd[K] (consuming a
+    dedicated (1, lanes) counter output poisons the process).
     """
     C, B = key.shape
     if interpret is None:
         if jax.default_backend() == "cpu":
             # CPU: sort-based reference (fast to compile; the kernel itself
             # is covered by tests/test_select_kernel.py in interpret mode)
-            return select_topk_reference(key, payloads, K, window)
+            okey, pouts, nd = select_topk_reference(key, payloads, K, window)
+            nd = nd.reshape(1, B)
+            if drop_accum is not None:
+                nd = drop_accum.astype(jnp.uint32).reshape(1, B) + nd
+            okeyd = jnp.concatenate([okey, nd], axis=0)
+            return okeyd, pouts, nd
         interpret = False
     lanes = min(lanes, B)
     pad = (-B) % lanes
@@ -132,10 +155,14 @@ def select_topk(key, payloads, K: int, window=None, *, interpret=None,
         if pad:
             w = jnp.pad(w, ((0, 0), (0, pad)))
         args.append(w)
+    if drop_accum is not None:
+        d = drop_accum.astype(jnp.uint32).reshape(1, B)
+        if pad:
+            d = jnp.pad(d, ((0, 0), (0, pad)))
+        args.append(d)
     fn = _build_select(C, Bp, K, len(payloads), window is not None,
-                       bool(interpret), lanes)
+                       drop_accum is not None, bool(interpret), lanes)
     outs = fn(*args)
-    okey = outs[0][:, :B]
+    okeyd = outs[0][:, :B]       # [K+1, B]: rows 0..K-1 keys, row K drops
     pouts = tuple(o[:, :B] for o in outs[1:1 + len(payloads)])
-    ndrop = outs[-1][0, :B]
-    return okey, pouts, ndrop
+    return okeyd, pouts, okeyd[K:K + 1]

@@ -80,7 +80,9 @@ class Aligner:
     def hits_from_device(self, handle):
         """Phase B: read a search handle back -> (hits_fwd, hits_rc)."""
         from .search.beam import result_to_hits
-        res, B = handle
+        from .search.adaptive import finalize_any
+        raw, B = handle
+        res = finalize_any(raw, self.opt.s_mm)
         hits_all = result_to_hits(res)
         self.last_overflow = (np.asarray(res.n_live_dropped),
                               np.asarray(res.n_hits_dropped))

@@ -10,20 +10,34 @@ reached.
 
 The whole ladder is ONE jitted device function: flagged reads are selected
 with a static-size ``jnp.nonzero`` (capacity = ``esc_frac`` of the batch per
-rung), re-searched at the next width, and scattered back — no host
-round-trips (a host-side version measured slower than the flat beam).
-Reads flagged beyond a rung's capacity keep their current results and stay
-flagged, so truncation remains observable.
+rung), re-searched at the next width — no host round-trips.  Reads flagged
+beyond a rung's capacity keep their current results and stay flagged, so
+truncation remains observable.
+
+Device/host split (docs/TPU_NOTES.md): the device function returns the
+RAW per-rung results plus the escalation index maps; merging the [H, B]
+hit buffers happens on HOST at readback (``finalize_ladder``) — device-
+side scatters of [H, B] hit matrices / transposed layouts re-trigger the
+backend's degraded mode.  Flat [B] flag scatters (clean) keep multi-rung
+flag propagation on device.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from .beam import BeamResult, beam_search
+from .beam import RawBeamResult, BeamResult, beam_search, finalize_result
+
+
+class LadderRawResult(NamedTuple):
+    raws: tuple            # per-rung RawBeamResult (rung 0 = full batch)
+    esc_idx: tuple         # per-escalation int32[ESC] read ids (fill = B)
+    esc_valid: tuple       # per-escalation bool[ESC]
 
 
 class AdaptiveBeam:
@@ -51,33 +65,82 @@ class AdaptiveBeam:
         @jax.jit
         def run_core(arrs, fwd, lens, D, md):
             dev = join_idx(meta, arrs)
-            res = beam_search(dev, fwd, lens, D, md, opt,
+            raw = beam_search(dev, fwd, lens, D, md, opt,
                               beam_width=ladder[0], max_hits=H)
+            raws = [raw]
+            esc_idx, esc_valid = [], []
+            # flat [B] flag state, updated by flat scatters (clean)
+            ldrop = raw.n_live_dropped
+            hdrop = raw.n_hits_dropped
             for W in ladder[1:]:
-                flag = (res.n_live_dropped > 0) | (res.n_hits_dropped > 0)
+                flag = (ldrop > 0) | (hdrop > 0)
                 n_flag = flag.sum()
                 # fill with an OUT-OF-RANGE index: gathers clamp (harmless,
-                # masked by `valid`) and the scatter-back DROPS those rows —
-                # fill_value=0 would make row 0 a duplicate scatter target
-                # with undefined ordering
+                # masked by `valid`) and flag-scatter DROPS those rows
                 idx = jnp.nonzero(flag, size=ESC, fill_value=B)[0]
                 valid = jnp.arange(ESC) < n_flag
                 sub = beam_search(
                     dev, fwd[idx], jnp.where(valid, lens[idx], 0),
                     D[idx], md[idx], opt, beam_width=W, max_hits=H)
-                # scatter escalated rows back (only the valid ones)
-                def merge(a, b):
-                    upd = jnp.where(
-                        valid.reshape((ESC,) + (1,) * (b.ndim - 1)), b, a[idx])
-                    return a.at[idx].set(upd)
-                res = BeamResult(*(merge(a, b) for a, b in zip(res, sub)))
-            return res
+                raws.append(sub)
+                esc_idx.append(idx)
+                esc_valid.append(valid)
+                ldrop = ldrop.at[idx].set(
+                    jnp.where(valid, sub.n_live_dropped, ldrop[idx]))
+                hdrop = hdrop.at[idx].set(
+                    jnp.where(valid, sub.n_hits_dropped, hdrop[idx]))
+            return tuple(raws), tuple(esc_idx), tuple(esc_valid)
 
-        run = lambda fwd, lens, D, md: run_core(arrays, fwd, lens, D, md)
+        run = lambda fwd, lens, D, md: LadderRawResult(
+            *run_core(arrays, fwd, lens, D, md))
         self._jit_cache[B] = run
         return run
 
-    def __call__(self, fwd, lens, D, md) -> BeamResult:
+    def __call__(self, fwd, lens, D, md) -> LadderRawResult:
         fwd = jnp.asarray(fwd)
         return self._ladder_fn(fwd.shape[0])(
             fwd, jnp.asarray(lens), jnp.asarray(D), jnp.asarray(md))
+
+
+def primary_ranks(res, n) -> jnp.ndarray:
+    """Device-side [B] ranks of each read's first hit-buffer slot (rank 0
+    when the slot is invalid) — for benchmark-style primary locates.
+    Flat row reads + flat scatters only (clean constructs)."""
+    from ..kernels.select import SENT
+
+    def one(raw):
+        v = raw.hkey[0] < SENT
+        return jnp.where(v, raw.hit_k[0], jnp.uint32(0)), v
+
+    if isinstance(res, RawBeamResult):
+        return one(res)[0]
+    ranks, _ = one(res.raws[0])
+    for raw, idx, valid in zip(res.raws[1:], res.esc_idx, res.esc_valid):
+        r2, _ = one(raw)
+        ranks = ranks.at[idx].set(jnp.where(valid, r2, ranks[idx]))
+    return ranks
+
+
+def finalize_ladder(res: LadderRawResult, s_mm: int) -> BeamResult:
+    """Host merge (READS BACK): per-rung finalize + numpy scatter merge."""
+    out = finalize_result(res.raws[0], s_mm)
+    fields = list(out)
+    for raw, idx, valid in zip(res.raws[1:], res.esc_idx, res.esc_valid):
+        sub = finalize_result(raw, s_mm)
+        idx = np.asarray(idx)
+        valid = np.asarray(valid)
+        sel = idx[valid]
+        subsel = np.nonzero(valid)[0]
+        for fi in range(len(fields)):
+            f = np.array(fields[fi])
+            f[sel] = np.asarray(sub[fi])[subsel]
+            fields[fi] = f
+    return BeamResult(*fields)
+
+
+def finalize_any(res, s_mm: int) -> BeamResult:
+    if isinstance(res, LadderRawResult):
+        return finalize_ladder(res, s_mm)
+    if isinstance(res, RawBeamResult):
+        return finalize_result(res, s_mm)
+    return res

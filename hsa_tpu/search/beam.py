@@ -78,21 +78,61 @@ def _unpack(meta):
     return i, nmm, ngapo, ngape, seed_mm, st
 
 
+class RawBeamResult(NamedTuple):
+    """Device-side search output, kept in kernel layout ([H, B], reads on
+    lanes).  Finalization (score-window filter, meta unpack, transposition
+    to read-major) happens on HOST at readback (``finalize_result``):
+    device-side transposes to small-minor [B, H] layouts and post-scan
+    unpack chains re-trigger the degraded mode (docs/TPU_NOTES.md)."""
+    hkey: jnp.ndarray        # uint32[H, B]  score << KEY_SH | row
+    hit_k: jnp.ndarray       # uint32[H, B]
+    hit_l: jnp.ndarray       # uint32[H, B]
+    hit_meta: jnp.ndarray    # uint32[H, B]  packed (nmm/ngapo/ngape/...)
+    best_raw: jnp.ndarray    # uint32[B]     best score (>= 0x10000: none)
+    n_live_dropped: jnp.ndarray  # uint32[B] max per-step beam overflow
+    n_hits_dropped: jnp.ndarray  # uint32[B]
+
+
 class BeamResult(NamedTuple):
-    hit_score: jnp.ndarray   # int32[B, H]
-    hit_k: jnp.ndarray       # uint32[B, H]
-    hit_l: jnp.ndarray       # uint32[B, H]
-    hit_nmm: jnp.ndarray     # int32[B, H]
-    hit_ngapo: jnp.ndarray   # int32[B, H]
-    hit_ngape: jnp.ndarray   # int32[B, H]
-    hit_valid: jnp.ndarray   # bool[B, H]
-    best_score: jnp.ndarray  # int32[B] (INF when no hit)
-    n_live_dropped: jnp.ndarray  # int32[B] beam-overflow parity alarms
-    n_hits_dropped: jnp.ndarray  # int32[B]
+    """Host-side (numpy) finalized result, read-major."""
+    hit_score: object        # int32[B, H]
+    hit_k: object            # uint32[B, H]
+    hit_l: object            # uint32[B, H]
+    hit_nmm: object          # int32[B, H]
+    hit_ngapo: object        # int32[B, H]
+    hit_ngape: object        # int32[B, H]
+    hit_valid: object        # bool[B, H]
+    best_score: object       # int32[B] (INF when no hit)
+    n_live_dropped: object   # int32[B] beam-overflow parity alarms
+    n_hits_dropped: object   # int32[B]
+
+
+def finalize_result(raw: RawBeamResult, s_mm: int) -> BeamResult:
+    """Host finalization (READS BACK): window filter + unpack + transpose."""
+    import numpy as np
+    hkey = np.asarray(raw.hkey)
+    hk = np.asarray(raw.hit_k)
+    hl = np.asarray(raw.hit_l)
+    hm = np.asarray(raw.hit_meta)
+    best = np.asarray(raw.best_raw).astype(np.int64)
+    ld = np.asarray(raw.n_live_dropped)
+    hd = np.asarray(raw.n_hits_dropped)
+    hscore = (hkey >> KEY_SH).astype(np.int64)
+    hvalid = (hscore < _SCORE_NOHIT) & (hscore <= best[None, :] + s_mm)
+    nmm = ((hm >> _NMM_SH) & 0xF).astype(np.int32)
+    ngapo = ((hm >> _GAPO_SH) & 0x7).astype(np.int32)
+    ngape = ((hm >> _GAPE_SH) & 0xF).astype(np.int32)
+    best_i = np.where(best >= _SCORE_NOHIT, int(INF), best).astype(np.int32)
+    score_i = np.where(hvalid, hscore, int(INF)).astype(np.int32)
+    return BeamResult(hit_score=score_i.T, hit_k=hk.T, hit_l=hl.T,
+                      hit_nmm=nmm.T, hit_ngapo=ngapo.T, hit_ngape=ngape.T,
+                      hit_valid=hvalid.T, best_score=best_i,
+                      n_live_dropped=ld.astype(np.int32),
+                      n_hits_dropped=hd.astype(np.int32))
 
 
 def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
-                beam_width: int | None = None, max_hits: int = 32) -> BeamResult:
+                beam_width: int | None = None, max_hits: int = 32) -> RawBeamResult:
     """Run the inexact search for a whole batch.
 
     reads_fwd: int32/uint8 [B, Lmax] codes in 5'->3' order (PAD beyond len)
@@ -244,20 +284,28 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
         mk = jnp.concatenate([hk, kc[:HC]], axis=0)
         ml = jnp.concatenate([hl, lc[:HC]], axis=0)
         mm_ = jnp.concatenate([hm, mc[:HC]], axis=0)
-        okey, (hk2, hl2, hm2), hdrop_i = select_topk(
-            mkey, (mk, ml, mm_), H)
+        # Drop tracking: running MAX of per-step drop counts, updated with
+        # the same where-select pattern as `best` — accumulating adds or
+        # dedicated counter outputs/carries re-poison the process
+        # (docs/TPU_NOTES.md).  >0 iff any step overflowed, which is the
+        # parity-alarm semantics every consumer relies on.
+        okeyd, (hk2, hl2, hm2), _ = select_topk(mkey, (mk, ml, mm_), H)
+        okey = okeyd[:H]
+        hdrop_i = okeyd[H]
+        hdrop = jnp.where(hdrop_i > hdrop, hdrop_i, hdrop)
         cand_best = okey[0] >> KEY_SH                   # row 0 = best hit
         # NOTE: jnp.minimum on uint32 is a degraded-lowering risk; use where
         best2 = jnp.where(cand_best < best, cand_best, best)
-        hdrop = hdrop + hdrop_i
         # re-key buffer rows so columns stay unique next step
         hkey2 = ((okey >> KEY_SH) << KEY_SH) | rowH
 
         # --- frontier selection (kernel 2), windowed at best + s_mm ---
         win = best2 + U32(s_mm)
-        lkey, (k2, l2, m2), ldrop_i = select_topk(
+        lkeyd, (k2, l2, m2), _ = select_topk(
             live_key, (kc, lc, mc), W, window=win)
-        ldrop = ldrop + ldrop_i
+        lkey = lkeyd[:W]
+        ldrop_i = lkeyd[W]
+        ldrop = jnp.where(ldrop_i > ldrop, ldrop_i, ldrop)
         live2 = (lkey < SENT).reshape(-1)
         score2 = jnp.where(lkey < SENT, lkey >> KEY_SH, U32(0)).reshape(-1).astype(I32)
 
@@ -271,19 +319,11 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
      hkey, hk, hl, hm, best, ldrop, hdrop), _ = lax.scan(
         step, carry0, None, length=n_steps)
 
-    # post-scan (runs once): final window filter + unpack + transpose out
-    hscore = (hkey >> KEY_SH).astype(I32)                   # [H, B]
-    bestT = jnp.broadcast_to(best[None, :], (H, B)).astype(I32)
-    hvalid = (hscore < _SCORE_NOHIT) & (hscore <= bestT + s_mm)
-    hi, hnmm, hgapo, hgape, _, _ = _unpack(hm)
-    best_i = jnp.where(best >= jnp.uint32(_SCORE_NOHIT), INF,
-                       best.astype(I32))
-    return BeamResult(hit_score=jnp.where(hvalid, hscore, INF).T,
-                      hit_k=hk.T, hit_l=hl.T,
-                      hit_nmm=hnmm.T, hit_ngapo=hgapo.T, hit_ngape=hgape.T,
-                      hit_valid=hvalid.T, best_score=best_i,
-                      n_live_dropped=ldrop.astype(I32),
-                      n_hits_dropped=hdrop.astype(I32))
+    # NO device post-processing: finalization (window filter, unpack,
+    # transposition) runs on host at readback — see finalize_result
+    return RawBeamResult(hkey=hkey, hit_k=hk, hit_l=hl, hit_meta=hm,
+                         best_raw=best, n_live_dropped=ldrop,
+                         n_hits_dropped=hdrop)
 
 
 _jit_cache = {}
@@ -367,10 +407,17 @@ def search_device(idx, fwd, lens, opt, *, beam_width=None, max_hits=32,
     return beam_f(fwd_j, lens_j, D, jnp.asarray(md))
 
 
-def result_to_hits(res: BeamResult):
-    """Host conversion (reads back!): BeamResult -> per-read sorted hit lists."""
+def result_to_hits(res, s_mm: int = 3):
+    """Host conversion (reads back!): result -> per-read sorted hit lists.
+
+    ``s_mm`` is only used when ``res`` is still a raw device result (it
+    parameterizes the final score-window filter).
+    """
     import numpy as np
     from ..oracle.bnb import Hit
+    if not isinstance(res, BeamResult):
+        from .adaptive import finalize_any
+        res = finalize_any(res, s_mm)
     out = []
     hv = np.asarray(res.hit_valid)
     hs = np.asarray(res.hit_score)
@@ -403,6 +450,8 @@ def align_batch(idx, reads, opt, *, beam_width=None, max_hits=32, max_len=None,
     :func:`search_device` + :func:`result_to_hits` for the two-phase flow.
     """
     fwd, lens = pack_read_batch(reads, max_len)
-    res = search_device(idx, fwd, lens, opt, beam_width=beam_width,
+    raw = search_device(idx, fwd, lens, opt, beam_width=beam_width,
                         max_hits=max_hits, ladder=ladder)
+    from .adaptive import finalize_any
+    res = finalize_any(raw, opt.s_mm)
     return result_to_hits(res), res

@@ -77,5 +77,9 @@ def locate_all(idx, k, l, matched, cap: int):
     valid = offs < take[:, None].astype(U32)
     ranks_flat = jnp.where(valid, ranks, U32(0)).reshape(-1)
     pos = fm.locate(idx, ranks_flat).reshape(ranks.shape)
-    pos = jnp.where(valid, pos, U32(0xFFFFFFFF))
+    # NO_POS sentinel = 0xFFFFFFFE: an all-ones literal in a device
+    # where-branch flips the backend into its degraded mode
+    # (docs/TPU_NOTES.md trigger 4); no genome position can reach this
+    # value either (uint32 text bound is 2^32-2).
+    pos = jnp.where(valid, pos, U32(0xFFFFFFFE))
     return pos, cnt_full

@@ -235,15 +235,18 @@ def _mark_info(idx, r):
     rows, own = _gather_rows(idx, idx.mark_blocks, b, "mark_row_offset")
     w = _select4(rows, (off >> 5), base_col=1)
     bit = (w >> (off & 31).astype(U32)) & U32(1)
-    # rank of marks below r inside the block: per-word masked popcounts
+    # rank of marks below r inside the block: per-word masked popcounts.
+    # Masks are built from two 16-bit halves: (1<<v)-1 for v in [0,16] never
+    # materializes an all-ones literal (0xFFFFFFFF in a where-branch flips
+    # the backend into its degraded mode — docs/TPU_NOTES.md trigger 4).
     below = rows[:, 0]
     rem = off
-    ONES = U32(0xFFFFFFFF)
     for j in range(4):
         v = jnp.where(rem < 32, rem, 32)
         rem = rem - v
-        vs = jnp.where(v > 31, 31, v).astype(U32)
-        m = jnp.where(v > 31, ONES, (U32(1) << vs) - U32(1))
+        v_lo = jnp.where(v < 16, v, 16).astype(U32)
+        v_hi = (v.astype(U32) - v_lo)
+        m = ((U32(1) << v_lo) - U32(1)) | (((U32(1) << v_hi) - U32(1)) << U32(16))
         below = below + lax.population_count(rows[:, 1 + j] & m)
     if own is not None:
         bit = bit * own.astype(U32)

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 
 from hsa_tpu.config import AlnOpt
 from hsa_tpu.index.layout import build_device_index
-from hsa_tpu.search.adaptive import AdaptiveBeam
+from hsa_tpu.search.adaptive import AdaptiveBeam, finalize_any
 from hsa_tpu.search.beam import beam_search
 from hsa_tpu.search.widths import cal_width_device
 
@@ -27,10 +27,12 @@ def test_ladder_matches_flat_top_width():
     md = np.full(B, 2, np.int32)
     D = np.asarray(cal_width_device(dev, jnp.asarray(fwd), jnp.asarray(lens)))
 
-    flat = beam_search(dev, jnp.asarray(fwd), jnp.asarray(lens), jnp.asarray(D),
-                       jnp.asarray(md), opt, beam_width=512, max_hits=16)
-    ladder = AdaptiveBeam(dev, opt, ladder=(8, 64, 512), max_hits=16,
-                          esc_frac=1.0)(fwd, lens, D, md)
+    flat = finalize_any(
+        beam_search(dev, jnp.asarray(fwd), jnp.asarray(lens), jnp.asarray(D),
+                    jnp.asarray(md), opt, beam_width=512, max_hits=16), opt.s_mm)
+    ladder = finalize_any(
+        AdaptiveBeam(dev, opt, ladder=(8, 64, 512), max_hits=16,
+                     esc_frac=1.0)(fwd, lens, D, md), opt.s_mm)
 
     def hitsets(res):
         out = []
@@ -70,8 +72,10 @@ def test_ladder_single_rung_equals_beam():
     lens = np.full(B, L, np.int32)
     md = np.full(B, 1, np.int32)
     D = np.zeros((B, L), np.int32)
-    a = AdaptiveBeam(dev, opt, ladder=(64,), max_hits=8)(fwd, lens, D, md)
-    b = beam_search(dev, jnp.asarray(fwd), jnp.asarray(lens), jnp.asarray(D),
-                    jnp.asarray(md), opt, beam_width=64, max_hits=8)
+    a = finalize_any(AdaptiveBeam(dev, opt, ladder=(64,), max_hits=8)(
+        fwd, lens, D, md), opt.s_mm)
+    b = finalize_any(beam_search(dev, jnp.asarray(fwd), jnp.asarray(lens),
+                                 jnp.asarray(D), jnp.asarray(md), opt,
+                                 beam_width=64, max_hits=8), opt.s_mm)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

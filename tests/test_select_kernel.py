@@ -30,8 +30,9 @@ def make_case(C, B, K, seed, frac_valid=0.7, with_window=False):
 def test_kernel_matches_reference(C, B, K, window):
     key, pays, win = make_case(C, B, K, seed=C + B, with_window=window)
     rk, rp, rd = select_topk_reference(key, pays, K, win)
-    kk, kp, kd = select_topk(key, pays, K, win, interpret=True, lanes=32)
-    rk, kk = np.asarray(rk), np.asarray(kk)
+    kkd, kp, kd = select_topk(key, pays, K, win, interpret=True, lanes=32)
+    rk, kk = np.asarray(rk), np.asarray(kkd)[:K]
+    np.testing.assert_array_equal(np.asarray(kkd)[K], np.asarray(rd))
     # valid slots must agree exactly (keys unique); invalid slots only in mask
     rvalid = rk < SENT
     kvalid = kk < SENT
@@ -41,13 +42,15 @@ def test_kernel_matches_reference(C, B, K, window):
     for a, b in zip(rp, kp):
         np.testing.assert_array_equal(np.where(rvalid, np.asarray(a), 0),
                                       np.where(kvalid, np.asarray(b), 0))
-    np.testing.assert_array_equal(np.asarray(rd), np.asarray(kd))
+    np.testing.assert_array_equal(np.asarray(rd).reshape(-1),
+                                  np.asarray(kd).reshape(-1))
 
 
 def test_all_invalid_column():
     key, pays, _ = make_case(16, 32, 4, seed=1, frac_valid=0.0)
     rk, _, rd = select_topk_reference(key, pays, 4, None)
-    kk, _, kd = select_topk(key, pays, 4, None, interpret=True, lanes=32)
-    assert not (np.asarray(kk) < SENT).any()
-    np.testing.assert_array_equal(np.asarray(rd), np.asarray(kd))
+    kkd, _, kd = select_topk(key, pays, 4, None, interpret=True, lanes=32)
+    assert not (np.asarray(kkd)[:4] < SENT).any()
+    np.testing.assert_array_equal(np.asarray(rd).reshape(-1),
+                                  np.asarray(kd).reshape(-1))
     assert (np.asarray(kd) == 0).all()

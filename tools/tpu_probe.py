@@ -114,14 +114,14 @@ def main():
             f = jit_over_idx(dev, lambda ix, a, b_, c, d: beam_search(
                 ix, a, b_, c, d, opt, beam_width=W, max_hits=16))
             r = f(fwd, lens, D, md)
-            jax.block_until_ready(r.best_score)
+            jax.block_until_ready(r)
         elif st == "ladder":
             from hsa_tpu.search.adaptive import AdaptiveBeam
             ab = AdaptiveBeam(dev, opt, ladder=(8, 64), max_hits=16)
             if D is None:
                 D = jnp.zeros((B, L), jnp.int32)
-            r = ab(fwd, lens, np.asarray(D), np.asarray(md))
-            jax.block_until_ready(r.best_score)
+            r = ab(fwd, lens, D, md)
+            jax.block_until_ready(r)
         elif st == "locate":
             f = jit_over_idx(dev, fm.locate)
             ranks = jnp.asarray(rs.randint(0, n, B).astype(np.uint32))
