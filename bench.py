@@ -9,12 +9,11 @@ repeat structure, which makes it slightly *harder* than real genome for the
 occ-gather path (no cache reuse) and slightly easier for the beam (fewer
 multi-hits) — treated as a stand-in until a real reference is mountable.
 
-Measurement discipline (docs/TPU_NOTES.md): the timed loop performs NO
-device->host readback — on this backend the first readback permanently
-degrades every subsequent dispatch ~50-500x.  Production runs the same
-way (two-phase pipeline: search everything, then read back once), so the
-clean-mode number is the deployable steady-state throughput.  Readbacks
-for the mapped-fraction statistic happen after timing.
+Measurement discipline (docs/TPU_NOTES.md): the backend's async dispatch
+mode LIES about completion (block_until_ready returns before the work
+runs), so the bench forces the synchronous regime up front (one tiny
+readback) and then times iterations that each end in a small readback —
+every reported millisecond is wall time to results-on-host.
 
 ``vs_baseline``: BASELINE.json carries no published numbers (empty mount —
 see BASELINE.md); the denominator is the documented stand-in constant
@@ -37,6 +36,7 @@ BEAM_W = int(os.environ.get("HSA_BENCH_BEAM_W", "64"))
 # adaptive escalation ladder (same output quality as flat BEAM_W: reads
 # that overflow a narrow beam re-run wider; "" disables)
 LADDER = tuple(int(x) for x in os.environ.get("HSA_BENCH_LADDER", "8,64").split(",") if x)
+ESC_FRAC = float(os.environ.get("HSA_BENCH_ESC", "0.34"))
 MAX_HITS = 16
 ITERS = int(os.environ.get("HSA_BENCH_ITERS", "8"))
 BASELINE_READS_PER_S = 2000.0
@@ -98,14 +98,17 @@ def main():
     md_j = jnp.full(BATCH, 2, jnp.int32)
 
     adaptive = AdaptiveBeam(dev, opt, ladder=LADDER or (BEAM_W,),
-                            max_hits=MAX_HITS)
+                            max_hits=MAX_HITS, esc_frac=ESC_FRAC)
     width_f = jit_over_idx(dev, cal_width_device)
     locate_f = jit_over_idx(dev, fm.locate)
 
     from hsa_tpu.search.adaptive import primary_ranks
+    from hsa_tpu.pipeline import force_sync_mode
+
+    force_sync_mode()  # honest timing regime (docs/TPU_NOTES.md)
 
     def aln_step(reads_fwd, lens, max_diff):
-        """width -> adaptive beam -> locate primary hit. NO readback."""
+        """width -> adaptive beam -> locate primary hit."""
         D = width_f(reads_fwd, lens)
         res = adaptive(reads_fwd, lens, D, max_diff)
         pos = locate_f(primary_ranks(res, n))
@@ -113,19 +116,32 @@ def main():
 
     t0 = time.time()
     res, pos = aln_step(fwd_j, lens_j, md_j)
-    jax.block_until_ready(pos)
+    _ = np.asarray(pos[:8])
     compile_s = time.time() - t0
 
-    # occ-gather microbench BEFORE any readback (clean mode)
+    # occ-gather microbench (chained scan; rate of the hot primitive)
+    from hsa_tpu.search.jitcache import split_idx, join_idx
+    from jax import lax
+    arrays, meta_ = split_idx(dev)
+
+    @jax.jit
+    def occ_chain(arrs, p):
+        idx = join_idx(meta_, arrs)
+
+        def body(p, _):
+            o = fm.occ_lt4_flat(idx, p)
+            return (o[0] ^ o[3]) & jnp.uint32((1 << 25) - 1), None
+        p, _ = lax.scan(body, p, None, length=32)
+        return p
+
     Q = 1 << 20
     qs = jnp.asarray(np.random.RandomState(3).randint(0, n, Q).astype(np.uint32))
-    occ_f = jit_over_idx(dev, fm.occ_lt4)
-    jax.block_until_ready(occ_f(qs))
+    o = occ_chain(arrays, qs)
+    _ = np.asarray(o[:2])
     t0 = time.time()
-    for _ in range(20):
-        o = occ_f(qs)
-    jax.block_until_ready(o)
-    occ_dt = (time.time() - t0) / 20
+    o = occ_chain(arrays, o)
+    _ = np.asarray(o[:2])
+    occ_dt = (time.time() - t0) / 32
     occ_qps = Q / occ_dt
     occ_gbps = Q * 36 / occ_dt / 1e9  # 32B row gather + 4B index read / query
 
@@ -133,17 +149,16 @@ def main():
     if prof_dir:
         with jax.profiler.trace(prof_dir):
             res, pos = aln_step(fwd_j, lens_j, md_j)
-            jax.block_until_ready(pos)
+            _ = np.asarray(pos[:8])
 
-    # timed loop: no readback, block at the end only
+    # timed loop: every iteration ends in a small sync readback
     t0 = time.time()
     for _ in range(ITERS):
         res, pos = aln_step(fwd_j, lens_j, md_j)
-    jax.block_until_ready(pos)
+        _ = np.asarray(pos[:8])
     dt = (time.time() - t0) / ITERS
     reads_per_s = BATCH / dt
 
-    # POISONING BOUNDARY — everything after this line runs degraded
     from hsa_tpu.search.adaptive import finalize_any
     fin = finalize_any(res, opt.s_mm)
     mapped = float(np.asarray(fin.hit_valid).any(axis=1).mean())
@@ -157,6 +172,7 @@ def main():
         "batch": BATCH,
         "beam_width": BEAM_W,
         "ladder": list(LADDER),
+        "esc_frac": ESC_FRAC,
         "mapped_frac": round(mapped, 4),
         "overflow_frac": round(overflow, 4),
         "batch_ms": round(dt * 1e3, 1),

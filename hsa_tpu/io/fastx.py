@@ -102,7 +102,7 @@ class RefMeta:
                    starts=np.asarray(d["starts"], np.int64),
                    lengths=np.asarray(d["lengths"], np.int64),
                    amb_runs=[tuple(r) for r in d["amb_runs"]],
-                   total=int(d["total"]))
+                   total=int(d.get("total") or int(np.sum(d["lengths"]))))
 
 
 def load_reference(path: str, seed: int = 11):

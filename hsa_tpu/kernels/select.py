@@ -132,6 +132,13 @@ def select_topk(key, payloads, K: int, window=None, drop_accum=None, *,
     dedicated (1, lanes) counter output poisons the process).
     """
     C, B = key.shape
+    import os
+    if os.environ.get("HSA_SELECT_REFERENCE"):
+        okey, pouts, nd = select_topk_reference(key, payloads, K, window)
+        nd = nd.reshape(1, B)
+        if drop_accum is not None:
+            nd = drop_accum.astype(jnp.uint32).reshape(1, B) + nd
+        return jnp.concatenate([okey, nd], axis=0), pouts, nd
     if interpret is None:
         if jax.default_backend() == "cpu":
             # CPU: sort-based reference (fast to compile; the kernel itself

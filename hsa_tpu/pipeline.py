@@ -24,6 +24,19 @@ from .io.fastx import RefMeta, load_reference
 from .resolve.samse import resolve_batch_se
 
 
+def force_sync_mode():
+    """Put the backend into its synchronous execution regime.
+
+    On the axon tunnel, async dispatch LIES about completion
+    (block_until_ready returns before work runs) and the queued work
+    executes ~50x slower than synchronous mode; one tiny device->host
+    readback flips the process into the honest, faster regime
+    (docs/TPU_NOTES.md).  Call once before any real work.
+    """
+    import jax.numpy as jnp
+    np.asarray(jnp.arange(8, dtype=jnp.uint32) * jnp.uint32(3))
+
+
 def build_index(fasta_path: str, prefix: str, sa_intv: int = 32) -> str:
     """``hsa-tpu index``: FASTA -> artifact dir. Returns the dir path."""
     text, meta = load_reference(fasta_path)
@@ -58,6 +71,7 @@ class Aligner:
             packed = np.frombuffer(fh.read(), np.uint8)
         self.text = refpack.unpack_2bit(packed, int(n)).astype(np.int8)
         self.dev = self.di.as_jax()
+        force_sync_mode()
 
     # -- search ------------------------------------------------------------
     def search_batch_device(self, reads, beam_width=None, max_hits=32,
@@ -70,18 +84,23 @@ class Aligner:
         flows run phase A for many batches before the first readback.
         """
         from .search.beam import pack_read_batch, search_device
+        from .search.prelocate import PositionCache
         rc = [alphabet.revcomp(r) for r in reads]
         fwd, lens = pack_read_batch(list(reads) + rc)
         res = search_device(self.dev, fwd, lens, self.opt,
                             beam_width=beam_width, max_hits=max_hits,
                             ladder=ladder or self.ladder)
-        return (res, len(reads))
+        # in sync mode, on-demand locates during resolution are cheap; the
+        # PositionCache stays empty and only forwards to the live locate_fn
+        cache = PositionCache()
+        return (res, len(reads), cache)
 
     def hits_from_device(self, handle):
         """Phase B: read a search handle back -> (hits_fwd, hits_rc)."""
         from .search.beam import result_to_hits
         from .search.adaptive import finalize_any
-        raw, B = handle
+        raw, B, cache = handle
+        self._last_cache = cache
         res = finalize_any(raw, self.opt.s_mm)
         hits_all = result_to_hits(res)
         self.last_overflow = (np.asarray(res.n_live_dropped),
@@ -117,19 +136,19 @@ class Aligner:
     def align(self, reads, names=None, quals=None, *, read_offset: int = 0,
               beam_width=None, max_hits=32, sopt: SamseOpt | None = None):
         """reads: list of int8 code arrays -> list of AlnRecord."""
-        names = names or [f"read{read_offset + i}" for i in range(len(reads))]
-        hf, hr = self.search_batch(reads, beam_width=beam_width, max_hits=max_hits)
-        return resolve_batch_se(self.text, self.meta, reads, names, quals,
-                                hf, hr, self.locate_fn, self.opt, sopt,
-                                read_offset=read_offset)
+        h = self.search_batch_device(reads, beam_width=beam_width,
+                                     max_hits=max_hits)
+        return self.resolve_handle(h, reads, names, quals,
+                                   read_offset=read_offset, sopt=sopt)
 
     def resolve_handle(self, handle, reads, names=None, quals=None, *,
                        read_offset: int = 0, sopt: SamseOpt | None = None):
         """Phase B of the two-phase flow: handle -> list of AlnRecord."""
         names = names or [f"read{read_offset + i}" for i in range(len(reads))]
         hf, hr = self.hits_from_device(handle)
+        lf = handle[2].locate_fn(self.locate_fn)
         return resolve_batch_se(self.text, self.meta, reads, names, quals,
-                                hf, hr, self.locate_fn, self.opt, sopt,
+                                hf, hr, lf, self.opt, sopt,
                                 read_offset=read_offset)
 
     def align_pe(self, reads1, reads2, names=None, quals1=None, quals2=None, *,
@@ -140,12 +159,14 @@ class Aligner:
         names = names or [f"pair{read_offset + i}" for i in range(len(reads1))]
         # one device batch for both ends (and both strands)
         B = len(reads1)
-        hf, hr = self.search_batch(list(reads1) + list(reads2),
-                                   beam_width=beam_width, max_hits=max_hits)
+        h = self.search_batch_device(list(reads1) + list(reads2),
+                                     beam_width=beam_width, max_hits=max_hits)
+        hf, hr = self.hits_from_device(h)
+        lf = h[2].locate_fn(self.locate_fn)
         hits1 = (hf[:B], hr[:B])
         hits2 = (hf[B:], hr[B:])
         return resolve_batch_pe(self.text, self.meta, reads1, reads2, names,
-                                quals1, quals2, hits1, hits2, self.locate_fn,
+                                quals1, quals2, hits1, hits2, lf,
                                 self.opt, peopt, read_offset=read_offset)
 
 

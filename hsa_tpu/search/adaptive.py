@@ -12,7 +12,10 @@ The whole ladder is ONE jitted device function: flagged reads are selected
 with a static-size ``jnp.nonzero`` (capacity = ``esc_frac`` of the batch per
 rung), re-searched at the next width — no host round-trips.  Reads flagged
 beyond a rung's capacity keep their current results and stay flagged, so
-truncation remains observable.
+truncation remains observable.  The escalated sub-batch is padded to the
+full capacity, so ``esc_frac`` trades rung cost against the flagged-read
+fraction it can absorb (typical k=2 overflow is ~10%; the default 1/8
+capacity covers it with ~25% headroom).
 
 Device/host split (docs/TPU_NOTES.md): the device function returns the
 RAW per-rung results plus the escalation index maps; merging the [H, B]
@@ -44,7 +47,7 @@ class AdaptiveBeam:
     """Caches one jitted ladder function per batch size."""
 
     def __init__(self, dev_idx, opt, *, ladder=(8, 64), max_hits: int = 16,
-                 esc_frac: float = 1 / 3, esc_batch=None):
+                 esc_frac: float = 1 / 8, esc_batch=None):
         self.dev = dev_idx
         self.opt = opt
         self.ladder = tuple(ladder)
