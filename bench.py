@@ -9,11 +9,16 @@ repeat structure, which makes it slightly *harder* than real genome for the
 occ-gather path (no cache reuse) and slightly easier for the beam (fewer
 multi-hits) — treated as a stand-in until a real reference is mountable.
 
-Measurement discipline (docs/TPU_NOTES.md): the backend's async dispatch
-mode LIES about completion (block_until_ready returns before the work
-runs), so the bench forces the synchronous regime up front (one tiny
-readback) and then times iterations that each end in a small readback —
-every reported millisecond is wall time to results-on-host.
+Measurement discipline (docs/TPU_NOTES.md, round-2 honest re-baseline):
+- ONE tiny device->host readback happens before any dispatch (a fresh
+  process that queues work before its first readback executes that work
+  ~10,000x slow);
+- the whole per-batch step (width pass + adaptive ladder + locate) is ONE
+  jitted function, so a batch costs one dispatch;
+- timed iterations are chained by a data dependence through the previous
+  iteration's output and the loop ends in a readback, so the reported wall
+  time covers every queued execution honestly (block_until_ready lies on
+  this backend; readbacks do not).
 
 ``vs_baseline``: BASELINE.json carries no published numbers (empty mount —
 see BASELINE.md); the denominator is the documented stand-in constant
@@ -48,7 +53,7 @@ def get_index():
     from hsa_tpu.index.layout import DeviceIndex, build_device_index
 
     os.makedirs(CACHE, exist_ok=True)
-    idx_path = os.path.join(CACHE, f"idx_{GENOME_MBP}M.npz")
+    idx_path = os.path.join(CACHE, f"idx_{GENOME_MBP}M_v4.npz")
     txt_path = os.path.join(CACHE, f"txt_{GENOME_MBP}M.npy")
     if os.path.exists(idx_path) and os.path.exists(txt_path):
         try:
@@ -74,8 +79,11 @@ def main():
     from hsa_tpu.config import AlnOpt
     from hsa_tpu.search.widths import cal_width_device
     from hsa_tpu.search import fm
-    from hsa_tpu.search.adaptive import AdaptiveBeam
-    from hsa_tpu.search.jitcache import jit_over_idx
+    from hsa_tpu.search.adaptive import ladder_core, primary_ranks
+    from hsa_tpu.search.jitcache import split_idx, join_idx
+    from hsa_tpu.pipeline import force_sync_mode
+
+    force_sync_mode()  # MUST precede any dispatch (docs/TPU_NOTES.md)
 
     t0 = time.time()
     di, text = get_index()
@@ -97,32 +105,27 @@ def main():
     fwd_j, lens_j = jnp.asarray(fwd), jnp.asarray(lens)
     md_j = jnp.full(BATCH, 2, jnp.int32)
 
-    adaptive = AdaptiveBeam(dev, opt, ladder=LADDER or (BEAM_W,),
-                            max_hits=MAX_HITS, esc_frac=ESC_FRAC)
-    width_f = jit_over_idx(dev, cal_width_device)
-    locate_f = jit_over_idx(dev, fm.locate)
+    ladder = LADDER or (BEAM_W,)
+    ESC = max(int(BATCH * ESC_FRAC), 1)
+    arrays, meta_ = split_idx(dev)
 
-    from hsa_tpu.search.adaptive import primary_ranks
-    from hsa_tpu.pipeline import force_sync_mode
-
-    force_sync_mode()  # honest timing regime (docs/TPU_NOTES.md)
-
-    def aln_step(reads_fwd, lens, max_diff):
-        """width -> adaptive beam -> locate primary hit."""
-        D = width_f(reads_fwd, lens)
-        res = adaptive(reads_fwd, lens, D, max_diff)
-        pos = locate_f(primary_ranks(res, n))
+    @jax.jit
+    def aln_step(arrs, fwd, lens, md):
+        """ONE dispatch per batch: width -> adaptive ladder -> locate."""
+        idx = join_idx(meta_, arrs)
+        D = cal_width_device(idx, fwd, lens)
+        res = ladder_core(idx, fwd, lens, D, md, opt, ladder, MAX_HITS,
+                          ESC, BATCH)
+        pos = fm.locate(idx, primary_ranks(res, n))
         return res, pos
 
     t0 = time.time()
-    res, pos = aln_step(fwd_j, lens_j, md_j)
+    res, pos = aln_step(arrays, fwd_j, lens_j, md_j)
     _ = np.asarray(pos[:8])
     compile_s = time.time() - t0
 
     # occ-gather microbench (chained scan; rate of the hot primitive)
-    from hsa_tpu.search.jitcache import split_idx, join_idx
     from jax import lax
-    arrays, meta_ = split_idx(dev)
 
     @jax.jit
     def occ_chain(arrs, p):
@@ -148,19 +151,23 @@ def main():
     prof_dir = os.environ.get("HSA_BENCH_PROFILE")
     if prof_dir:
         with jax.profiler.trace(prof_dir):
-            res, pos = aln_step(fwd_j, lens_j, md_j)
+            res, pos = aln_step(arrays, fwd_j, lens_j, md_j)
             _ = np.asarray(pos[:8])
 
-    # timed loop: every iteration ends in a small sync readback
+    # timed loop: iterations chained via a data dependence on the previous
+    # locate output; one readback at the end accounts for every execution
     t0 = time.time()
+    md_i = md_j
     for _ in range(ITERS):
-        res, pos = aln_step(fwd_j, lens_j, md_j)
-        _ = np.asarray(pos[:8])
+        res, pos = aln_step(arrays, fwd_j, lens_j, md_i)
+        md_i = md_j | (pos[:1] & jnp.uint32(0)).astype(jnp.int32)
+    _ = np.asarray(pos[:8])
     dt = (time.time() - t0) / ITERS
     reads_per_s = BATCH / dt
 
-    from hsa_tpu.search.adaptive import finalize_any
-    fin = finalize_any(res, opt.s_mm)
+    from hsa_tpu.search.adaptive import finalize_any, LadderRawResult
+    fin = finalize_any(LadderRawResult(*res) if not hasattr(res, "raws") else res,
+                       opt.s_mm)
     mapped = float(np.asarray(fin.hit_valid).any(axis=1).mean())
     overflow = float((np.asarray(fin.n_live_dropped) > 0).mean())
     print(json.dumps({
@@ -171,7 +178,7 @@ def main():
         "genome_mbp": GENOME_MBP,
         "batch": BATCH,
         "beam_width": BEAM_W,
-        "ladder": list(LADDER),
+        "ladder": list(ladder),
         "esc_frac": ESC_FRAC,
         "mapped_frac": round(mapped, 4),
         "overflow_frac": round(overflow, 4),

@@ -66,10 +66,8 @@ class ShardedIndex:
                          rev_primary=np.uint32(di.rev_primary & 0xFFFFFFFF))
         ns = self.n_shard
         occ = _pad_rows(di.occ_blocks, ns)
-        mark = _pad_rows(di.mark_blocks, ns)
         samples = _pad_rows(di.samples, ns)
         self.occ_rows = occ.shape[0] // ns
-        self.mark_rows = mark.shape[0] // ns
         self.n_samples = samples.shape[0] // ns
         sh2 = NamedSharding(mesh, P("shard", None))
         sh1 = NamedSharding(mesh, P("shard"))
@@ -83,7 +81,6 @@ class ShardedIndex:
                                                 lambda idx: arr[idx])
 
         self.occ_blocks = put(occ, sh2)
-        self.mark_blocks = put(mark, sh2)
         self.samples = put(samples, sh1)
         self.C = put(di.C, rep)
         if di.rev_occ_blocks is not None:
@@ -93,27 +90,24 @@ class ShardedIndex:
             self.rev_occ_blocks = None
 
     def _index_args(self):
-        args = [self.occ_blocks, self.mark_blocks,
-                self.samples, self.C]
-        specs = [P("shard", None), P("shard", None), P("shard"), P()]
+        args = [self.occ_blocks, self.samples, self.C]
+        specs = [P("shard", None), P("shard"), P()]
         if self.rev_occ_blocks is not None:
             args += [self.rev_occ_blocks]
             specs += [P("shard", None)]
         return args, specs
 
-    def _local_idx(self, occ, mark, samples, C, rev_occ=None):
+    def _local_idx(self, occ, samples, C, rev_occ=None):
         s = lax.axis_index("shard").astype(jnp.int32)
         return SimpleNamespace(
             n=self.meta["n"], primary=self.meta["primary"],
             sa_intv=self.meta["sa_intv"], C=C,
-            occ_blocks=occ,
-            mark_blocks=mark, samples=samples,
+            occ_blocks=occ, samples=samples,
             rev_occ_blocks=rev_occ,
             rev_primary=self.meta["rev_primary"],
             shard_axis="shard",
             row_offset=s * self.occ_rows,
             rev_row_offset=s * self.occ_rows,
-            mark_row_offset=s * self.mark_rows,
             sample_offset=s * self.n_samples)
 
     # -- jitted entry points ------------------------------------------------

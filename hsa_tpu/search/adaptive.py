@@ -43,6 +43,40 @@ class LadderRawResult(NamedTuple):
     esc_valid: tuple       # per-escalation bool[ESC]
 
 
+def ladder_core(dev, fwd, lens, D, md, opt, ladder, H: int, ESC: int,
+                B: int) -> LadderRawResult:
+    """Traceable ladder body (composable into larger jits).
+
+    ``ESC`` = escalation sub-batch capacity; ``B`` = batch size (used as
+    the out-of-range nonzero fill).
+    """
+    raw = beam_search(dev, fwd, lens, D, md, opt,
+                      beam_width=ladder[0], max_hits=H)
+    raws = [raw]
+    esc_idx, esc_valid = [], []
+    # flat [B] flag state, updated by flat scatters (clean)
+    ldrop = raw.n_live_dropped
+    hdrop = raw.n_hits_dropped
+    for W in ladder[1:]:
+        flag = (ldrop > 0) | (hdrop > 0)
+        n_flag = flag.sum()
+        # fill with an OUT-OF-RANGE index: gathers clamp (harmless,
+        # masked by `valid`) and flag-scatter DROPS those rows
+        idx = jnp.nonzero(flag, size=ESC, fill_value=B)[0]
+        valid = jnp.arange(ESC) < n_flag
+        sub = beam_search(
+            dev, fwd[idx], jnp.where(valid, lens[idx], 0),
+            D[idx], md[idx], opt, beam_width=W, max_hits=H)
+        raws.append(sub)
+        esc_idx.append(idx)
+        esc_valid.append(valid)
+        ldrop = ldrop.at[idx].set(
+            jnp.where(valid, sub.n_live_dropped, ldrop[idx]))
+        hdrop = hdrop.at[idx].set(
+            jnp.where(valid, sub.n_hits_dropped, hdrop[idx]))
+    return LadderRawResult(tuple(raws), tuple(esc_idx), tuple(esc_valid))
+
+
 class AdaptiveBeam:
     """Caches one jitted ladder function per batch size."""
 
@@ -63,36 +97,12 @@ class AdaptiveBeam:
         ladder = self.ladder
         ESC = max(int(B * self.esc_frac), 1)
         arrays, meta = split_idx(self.dev)
-        # B used as the out-of-range nonzero fill below
 
         @jax.jit
         def run_core(arrs, fwd, lens, D, md):
             dev = join_idx(meta, arrs)
-            raw = beam_search(dev, fwd, lens, D, md, opt,
-                              beam_width=ladder[0], max_hits=H)
-            raws = [raw]
-            esc_idx, esc_valid = [], []
-            # flat [B] flag state, updated by flat scatters (clean)
-            ldrop = raw.n_live_dropped
-            hdrop = raw.n_hits_dropped
-            for W in ladder[1:]:
-                flag = (ldrop > 0) | (hdrop > 0)
-                n_flag = flag.sum()
-                # fill with an OUT-OF-RANGE index: gathers clamp (harmless,
-                # masked by `valid`) and flag-scatter DROPS those rows
-                idx = jnp.nonzero(flag, size=ESC, fill_value=B)[0]
-                valid = jnp.arange(ESC) < n_flag
-                sub = beam_search(
-                    dev, fwd[idx], jnp.where(valid, lens[idx], 0),
-                    D[idx], md[idx], opt, beam_width=W, max_hits=H)
-                raws.append(sub)
-                esc_idx.append(idx)
-                esc_valid.append(valid)
-                ldrop = ldrop.at[idx].set(
-                    jnp.where(valid, sub.n_live_dropped, ldrop[idx]))
-                hdrop = hdrop.at[idx].set(
-                    jnp.where(valid, sub.n_hits_dropped, hdrop[idx]))
-            return tuple(raws), tuple(esc_idx), tuple(esc_valid)
+            res = ladder_core(dev, fwd, lens, D, md, opt, ladder, H, ESC, B)
+            return tuple(res.raws), tuple(res.esc_idx), tuple(res.esc_valid)
 
         run = lambda fwd, lens, D, md: LadderRawResult(
             *run_core(arrays, fwd, lens, D, md))

@@ -1,38 +1,44 @@
-"""Batched FM-index primitives over the self-contained occ layout (jnp).
+"""Batched FM-index primitives over the fused rank-indexed layout (jnp).
 
 These are the device analogs of the reference's ``bwt.c`` rank/locate
 primitives (``bwt_occ4``/``bwt_2occ4``/``bwt_sa``), restated over
-``hsa_tpu.index.layout`` v3 rows and batched over query vectors.
+``hsa_tpu.index.layout`` v4 rows and batched over query vectors.
 
-Performance discipline (docs/TPU_NOTES.md; measured on v5e):
+Performance discipline (docs/TPU_NOTES.md; honest round-2 measurements):
 
-- every rank query is ONE 32-byte row gather (``jnp.take`` from a table
-  that reaches the executable as an ARGUMENT — never a closure);
-- gather results pass through ``lax.optimization_barrier`` so XLA keeps
-  the fast standalone gather lowering instead of fusing it into a
-  consumer loop;
-- all decode/count compute is elementwise on FLAT [B] vectors (never
-  [B, k]-minor-dim broadcast chains) — constant shifts, flat variable
-  shifts, per-word unrolled popcounts;
-- no integer division/remainder in hot paths.
+- row gathers run at ~75 Mrows/s ONLY inside a ``lax.scan``/``fori_loop``
+  executable with the table as a jit ARGUMENT; standalone dispatched
+  gathers are ~10x slower.  All hot loops live in scans.
+- the gather cost is per ROW; v4 therefore fuses occ checkpoints, BWT
+  symbols, locate mark bits and the mark-rank checkpoint into ONE 32-byte
+  row per 32 ranks, so ``lf`` — and every locate-walk step — costs exactly
+  one gather.
+- decode compute is elementwise on FLAT [B] vectors; the 32-rank block
+  needs only two 16-symbol mask words per count (half the v3 decode).
 
-Rank convention: the primitive is ``occ_lt(a, p)`` = number of ``a`` among
-bwt_full rows ``[0, p)`` excluding the primary row, for p in [0, n+1].
-Backward extension of [k, l] with base a::
+Rank convention (matches :mod:`hsa_tpu.fmcore`): the primitive is
+``occ_lt(a, p)`` = number of ``a`` among bwt_full rows ``[0, p)`` excluding
+the primary row, for p in [0, n+1].  Backward extension of [k, l] with
+base a::
 
     k' = C[a] + occ_lt(a, k)
     l' = C[a] + occ_lt(a, l + 1) - 1
 
 All ranks are uint32 (genome bound 4.3 Gbp, SURVEY.md §7.2).
 
+The v4 rows are indexed by RANK (not stored-BWT position): the primary
+rank occupies a slot whose symbol is a dummy 0; checkpoints count stored
+symbols only, and in-block counts of base 0 spanning the primary slot are
+corrected with the statically-known primary position.
+
 Index sharding (BASELINE configs 4-5): when the ``idx`` namespace carries a
 ``shard_axis`` name (set inside ``shard_map`` by ``hsa_tpu.dist``), the
-occ/mark/sample arrays are *local row ranges* of the global tables and
-every primitive follows the masked-gather + ``psum`` pattern: the owning
-shard contributes the real value, all others contribute zero, and a psum
-over the shard axis merges — the "all-gather interval merge" of the north
-star, expressed per-query.  The same code runs unsharded when
-``shard_axis`` is None.
+occ/sample arrays are *local row ranges* of the global tables and every
+primitive follows the masked-gather + ``psum`` pattern: the owning shard
+contributes the real value, all others contribute zero, and a psum over
+the shard axis merges — the "all-gather interval merge" of the north star,
+expressed per-query.  The same code runs unsharded when ``shard_axis`` is
+None.
 """
 
 from __future__ import annotations
@@ -44,12 +50,6 @@ from jax import lax
 U32 = jnp.uint32
 I32 = jnp.int32
 _PAT55 = 0x55555555
-
-
-def _stored_prefix(primary, p):
-    """# stored-BWT rows among full rows [0, p): drop the primary row."""
-    p = p.astype(U32)
-    return jnp.where(p <= primary, p, p - U32(1))
 
 
 def _gather_rows(idx, blocks, b_global, offset_attr):
@@ -77,29 +77,17 @@ def _psum(idx, x):
 
 
 def _word_masks(off):
-    """Four flat uint32 masks; mask j selects the 2-bit symbol pairs of word
-    j that lie below prefix length ``off`` (off int32 [B] in [0, 64])."""
+    """Two flat uint32 masks; mask j selects the 2-bit symbol pairs of word
+    4+j that lie below prefix length ``off`` (off int32 [B] in [0, 32])."""
     PAT = U32(_PAT55)
     ms = []
     rem = off
-    for _ in range(4):
+    for _ in range(2):
         v = jnp.where(rem < 16, rem, 16)
         rem = rem - v
         sh = U32(2) * (U32(16) - jnp.where(v > 1, v, 1).astype(U32))
         ms.append(jnp.where(v > 0, PAT >> sh, U32(0)))
     return ms
-
-
-def _row_decode(idx, p, *, rev: bool = False):
-    """(rows [B,8], off int32 [B], own [B]|None) for stored prefix lengths."""
-    blocks = idx.rev_occ_blocks if rev else idx.occ_blocks
-    primary = idx.rev_primary if rev else idx.primary
-    offset_attr = "rev_row_offset" if rev else "row_offset"
-    p_st = _stored_prefix(primary, p)
-    b = (p_st >> U32(6)).astype(I32)
-    off = (p_st & U32(63)).astype(I32)
-    rows, own = _gather_rows(idx, blocks, b, offset_attr)
-    return rows, off, own
 
 
 def _count_base(rows, ms, a):
@@ -110,12 +98,23 @@ def _count_base(rows, ms, a):
     else:
         aa = a.astype(U32)
     tot = None
-    for j in range(4):
+    for j in range(2):
         x = rows[:, 4 + j] ^ (aa * PAT)
         e = (~x) & ((~x) >> U32(1)) & ms[j]
         c = lax.population_count(e)
         tot = c if tot is None else tot + c
     return tot
+
+
+def _primary_corr(idx, b, off, *, rev: bool):
+    """1 where the primary's dummy slot falls inside [32b, 32b+off), else 0.
+
+    In-block counts of base 0 must subtract this (the dummy symbol is 0).
+    b/off are flat int32 [B]; primary is a trace-time scalar.
+    """
+    primary = int(idx.rev_primary if rev else idx.primary)
+    p_blk, p_off = primary >> 5, primary & 31
+    return ((b == p_blk) & (off > p_off)).astype(U32)
 
 
 def _select4(rows, a, base_col=0):
@@ -126,13 +125,34 @@ def _select4(rows, a, base_col=0):
     return jnp.where(a < 2, r01, r23)
 
 
+def _sym_at(rows, off):
+    """2-bit symbol of rank slot ``off`` (int32 [B] in [0, 31]) — dummy 0 at
+    the primary slot."""
+    word = jnp.where(off < 16, rows[:, 4], rows[:, 5])
+    return (word >> (U32(2) * (off & 15).astype(U32))) & U32(3)
+
+
+def _row_decode(idx, p, *, rev: bool = False):
+    """(rows [B,8], b, off int32 [B], own [B]|None) for prefix lengths p."""
+    blocks = idx.rev_occ_blocks if rev else idx.occ_blocks
+    offset_attr = "rev_row_offset" if rev else "row_offset"
+    p = p.astype(U32)
+    b = (p >> U32(5)).astype(I32)
+    off = (p & U32(31)).astype(I32)
+    rows, own = _gather_rows(idx, blocks, b, offset_attr)
+    return rows, b, off, own
+
+
 def occ_lt4(idx, p):
     """[B,4] counts of each base among bwt_full rows [0, p). p: uint32[B]."""
-    rows, off, own = _row_decode(idx, p)
+    rows, b, off, own = _row_decode(idx, p)
     ms = _word_masks(off)
+    corr = _primary_corr(idx, b, off, rev=False)
     outs = []
     for a in range(4):
         tot = rows[:, a] + _count_base(rows, ms, a)
+        if a == 0:
+            tot = tot - corr
         if own is not None:
             tot = tot * own.astype(U32)
         outs.append(tot)
@@ -141,11 +161,14 @@ def occ_lt4(idx, p):
 
 def occ_lt4_flat(idx, p):
     """Tuple of 4 flat [B] counts (same values as occ_lt4 columns)."""
-    rows, off, own = _row_decode(idx, p)
+    rows, b, off, own = _row_decode(idx, p)
     ms = _word_masks(off)
+    corr = _primary_corr(idx, b, off, rev=False)
     outs = []
     for a in range(4):
         tot = rows[:, a] + _count_base(rows, ms, a)
+        if a == 0:
+            tot = tot - corr
         if own is not None:
             tot = tot * own.astype(U32)
         outs.append(_psum(idx, tot))
@@ -154,9 +177,11 @@ def occ_lt4_flat(idx, p):
 
 def occ_lt(idx, a, p, *, rev: bool = False):
     """[B] count of base a[B] among bwt_full rows [0, p). a must be 0..3."""
-    rows, off, own = _row_decode(idx, p, rev=rev)
+    rows, b, off, own = _row_decode(idx, p, rev=rev)
     ms = _word_masks(off)
-    res = _select4(rows, a) + _count_base(rows, ms, a)
+    corr = _primary_corr(idx, b, off, rev=rev)
+    res = (_select4(rows, a) + _count_base(rows, ms, a)
+           - jnp.where(a.astype(U32) == 0, corr, U32(0)))
     if own is not None:
         res = res * own.astype(U32)
     return _psum(idx, res)
@@ -196,62 +221,40 @@ def extend4_flat(idx, k, l):
 
 def bwt_char(idx, r):
     """bwt_full symbol at rank r (garbage at r == primary; mask there)."""
-    j = jnp.where(r < idx.primary, r, r - U32(1))  # stored index of row r
-    b = (j >> U32(6)).astype(I32)
-    b_off = (j & U32(63)).astype(I32)
-    rows, own = _gather_rows(idx, idx.occ_blocks, b, "row_offset")
-    word = _select4(rows, (b_off >> 4), base_col=4)
-    sym = (word >> (U32(2) * (b_off & 15).astype(U32))) & U32(3)
+    rows, b, off, own = _row_decode(idx, r)
+    sym = _sym_at(rows, off)
     if own is not None:
         sym = sym * own.astype(U32)
     return _psum(idx, sym)
 
 
-def lf(idx, r):
-    """LF mapping; LF(primary) = 0.  ONE row gather total: the row of the
-    stored symbol at rank r also holds the counts needed for occ(c, r+1)."""
-    j = jnp.where(r < idx.primary, r, r - U32(1))  # stored index of row r
-    b = (j >> U32(6)).astype(I32)
-    b_off = (j & U32(63)).astype(I32)
-    rows, own = _gather_rows(idx, idx.occ_blocks, b, "row_offset")
-    word = _select4(rows, (b_off >> 4), base_col=4)
-    c = (word >> (U32(2) * (b_off & 15).astype(U32))) & U32(3)
-    # occ_lt(c, r+1) = counts_b[c] + in-block matches among first b_off+1 syms
-    ms = _word_masks(b_off + 1)
-    occ = _select4(rows, c) + _count_base(rows, ms, c)
-    if own is not None:
-        occ = occ * own.astype(U32)
-        c = c * own.astype(U32)
-    occ = _psum(idx, occ)
-    c = _psum(idx, c)
+def _lf_from_rows(idx, rows, b, off, r):
+    """LF mapping decoded from already-gathered rows of ranks r."""
+    c = _sym_at(rows, off)
+    # occ_lt(c, r+1) = ckpt[c] + in-block matches among slots [0, off+1)
+    ms = _word_masks(off + 1)
+    corr = _primary_corr(idx, b, off + 1, rev=False)
+    occ = (_select4(rows, c) + _count_base(rows, ms, c)
+           - jnp.where(c == U32(0), corr, U32(0)))
     res = jnp.take(idx.C, c.astype(I32)) + occ - U32(1)
     return jnp.where(r == idx.primary, U32(0), res)
 
 
-def _mark_info(idx, r):
-    """(is_marked[B] bool, mark_rank[B] uint32) for ranks r — flat decode."""
-    b = (r >> U32(7)).astype(I32)
-    off = (r & U32(127)).astype(I32)
-    rows, own = _gather_rows(idx, idx.mark_blocks, b, "mark_row_offset")
-    w = _select4(rows, (off >> 5), base_col=1)
-    bit = (w >> (off & 31).astype(U32)) & U32(1)
-    # rank of marks below r inside the block: per-word masked popcounts.
-    # Masks are built from two 16-bit halves: (1<<v)-1 for v in [0,16] never
-    # materializes an all-ones literal (0xFFFFFFFF in a where-branch flips
-    # the backend into its degraded mode — docs/TPU_NOTES.md trigger 4).
-    below = rows[:, 0]
-    rem = off
-    for j in range(4):
-        v = jnp.where(rem < 32, rem, 32)
-        rem = rem - v
-        v_lo = jnp.where(v < 16, v, 16).astype(U32)
-        v_hi = (v.astype(U32) - v_lo)
-        m = ((U32(1) << v_lo) - U32(1)) | (((U32(1) << v_hi) - U32(1)) << U32(16))
-        below = below + lax.population_count(rows[:, 1 + j] & m)
+def lf(idx, r):
+    """LF mapping; LF(primary) = 0.  ONE row gather total."""
+    rows, b, off, own = _row_decode(idx, r)
+    res = _lf_from_rows(idx, rows, b, off, r)
     if own is not None:
-        bit = bit * own.astype(U32)
-        below = below * own.astype(U32)
-    return _psum(idx, bit) == 1, _psum(idx, below)
+        res = res * own.astype(U32)
+    return _psum(idx, res)
+
+
+def _mark_from_rows(rows, off):
+    """(is_marked [B] uint32, mark_rank [B] uint32) from fused rows."""
+    bit = (rows[:, 6] >> off.astype(U32)) & U32(1)
+    below = ((U32(1) << off.astype(U32)) - U32(1)) & rows[:, 6]
+    mrank = rows[:, 7] + lax.population_count(below)
+    return bit, mrank
 
 
 def _sample_lookup(idx, mrank):
@@ -267,7 +270,9 @@ def _sample_lookup(idx, mrank):
 
 
 def locate(idx, r):
-    """Text positions of ranks r[B] via the bounded LF-walk (<= sa_intv-1 steps)."""
+    """Text positions of ranks r[B] via the bounded LF-walk (<= sa_intv-1
+    steps).  One fused-row gather per step (mark + LF from the same row),
+    plus one sample gather per lane at its mark step."""
     B = r.shape[0]
     pos = jnp.zeros(B, dtype=U32)
     steps = jnp.zeros(B, dtype=U32)
@@ -275,11 +280,20 @@ def locate(idx, r):
 
     def body(i, carry):
         r, steps, pos, done = carry
-        m, mrank = _mark_info(idx, r)
+        rows, b, off, own = _row_decode(idx, r)
+        bit, mrank = _mark_from_rows(rows, off)
+        r_next = _lf_from_rows(idx, rows, b, off, r)
+        if own is not None:
+            bit = bit * own.astype(U32)
+            mrank = mrank * own.astype(U32)
+            r_next = r_next * own.astype(U32)
+        bit = _psum(idx, bit)
+        mrank = _psum(idx, mrank)
+        r_next = _psum(idx, r_next)
+        m = bit == U32(1)
         newly = m & ~done
         pos = jnp.where(newly, _sample_lookup(idx, mrank) + steps, pos)
         done = done | m
-        r_next = lf(idx, r)
         r = jnp.where(done, r, r_next)
         steps = jnp.where(done, steps, steps + U32(1))
         return (r, steps, pos, done)

@@ -15,7 +15,7 @@ from types import SimpleNamespace
 
 import jax
 
-_ARRAY_FIELDS = ("C", "occ_blocks", "mark_blocks", "samples")
+_ARRAY_FIELDS = ("C", "occ_blocks", "samples")
 _REV_FIELDS = ("rev_occ_blocks",)
 
 
