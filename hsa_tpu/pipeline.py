@@ -54,14 +54,21 @@ def build_index(fasta_path: str, prefix: str, sa_intv: int = 32) -> str:
 
 
 class Aligner:
-    """Loads index artifacts and aligns read batches."""
+    """Loads index artifacts and aligns read batches.
+
+    ``engine``: "auto" routes eligible batches (short reads, modest diff
+    budgets) through the pigeonhole seed-and-verify engine with the beam
+    ladder as exact fallback; "beam" forces the exhaustive beam; "pigeon"
+    forces the pigeon path (ineligible batches raise).
+    """
 
     def __init__(self, index_dir: str, opt: AlnOpt | None = None,
-                 ladder=None):
+                 ladder=None, engine: str = "auto"):
         if not os.path.isdir(index_dir) and os.path.isdir(index_dir + ".hsa"):
             index_dir = index_dir + ".hsa"
         self.opt = opt or AlnOpt()
         self.ladder = ladder
+        self.engine = engine
         self.di = DeviceIndex.load(os.path.join(index_dir, "index.npz"))
         with open(os.path.join(index_dir, "meta.json")) as fh:
             m = json.load(fh)
@@ -71,7 +78,69 @@ class Aligner:
             packed = np.frombuffer(fh.read(), np.uint8)
         self.text = refpack.unpack_2bit(packed, int(n)).astype(np.int8)
         self.dev = self.di.as_jax()
+        self._text_rows = None
+        self._pigeon_jit = {}
         force_sync_mode()
+
+    # -- pigeon fast path --------------------------------------------------
+    _PIGEON_CAND_CAP = 16
+    _PIGEON_MIN_SEG = 12
+
+    def _pigeon_eligible(self, reads):
+        if self.engine == "beam" or not len(reads):
+            return None
+        from .search.pigeon import MAX_READ_LEN
+        lens = [len(r) for r in reads]
+        Lmax = max(lens)
+        md_max = max(self.opt.diff_budget(L) for L in set(lens))
+        n_seg = md_max + 1
+        ok = (Lmax <= MAX_READ_LEN
+              and min(lens) // n_seg >= self._PIGEON_MIN_SEG)
+        if self.engine == "pigeon" and not ok:
+            raise ValueError("batch not eligible for the pigeon engine "
+                             f"(Lmax={Lmax}, md_max={md_max})")
+        return n_seg if ok else None
+
+    def _pigeon_search_fn(self, n_seg):
+        key = n_seg
+        f = self._pigeon_jit.get(key)
+        if f is None:
+            import jax
+            from .search.jitcache import split_idx, join_idx
+            from .search import pigeon as pg
+            arrays, meta = split_idx(self.dev)
+            opt, CC = self.opt, self._PIGEON_CAND_CAP
+            if self._text_rows is None:
+                import jax.numpy as jnp
+                self._text_rows = jnp.asarray(pg.pack_text_rows(self.text))
+            trows = self._text_rows
+
+            @jax.jit
+            def core(arrs, trows, segs_rev, seg_lens, seg_off, rw, nmask,
+                     vmask, seedmask, lens, md):
+                idx = join_idx(meta, arrs)
+                return pg.pigeon_search(idx, trows, segs_rev, seg_lens,
+                                        seg_off, rw, nmask, vmask, seedmask,
+                                        lens, md, opt, n_seg=n_seg,
+                                        cand_cap=CC)
+
+            f = lambda b, md: core(arrays, trows, b["segs_rev"], b["seg_lens"],
+                                   b["seg_off"], b["rw"], b["nmask"],
+                                   b["vmask"], b["seedmask"], b["lens"], md)
+            self._pigeon_jit[key] = f
+        return f
+
+    def pigeon_occurrences(self, reads, n_seg):
+        """Pigeon search of reads (both strands): (occs[B], fallback[B])."""
+        from .search import pigeon as pg
+        rc = [alphabet.revcomp(r) for r in reads]
+        both = list(reads) + rc
+        batch = pg.pack_pigeon_batch(both, n_seg=n_seg,
+                                     seed_len=self.opt.seed_len)
+        md = np.array([self.opt.diff_budget(len(r)) for r in both], np.int32)
+        res = self._pigeon_search_fn(n_seg)(batch, md)
+        return pg.pigeon_occurrences(res, len(reads), self.opt,
+                                     self._PIGEON_CAND_CAP)
 
     # -- search ------------------------------------------------------------
     def search_batch_device(self, reads, beam_width=None, max_hits=32,

@@ -189,8 +189,19 @@ def resolve_batch_se(text, meta, reads, names, quals, hits_fwd, hits_rc,
     arrays (original 5'->3' orientation); locate_fn as in collect_occurrences.
     ``read_offset`` keeps the deterministic tie-break stable across batches.
     """
-    sopt = sopt or SamseOpt()
     occs, truncated = collect_occurrences(hits_fwd, hits_rc, locate_fn, max_occ)
+    return resolve_from_occurrences(text, meta, reads, names, quals, occs,
+                                    truncated, opt, sopt,
+                                    read_offset=read_offset)
+
+
+def resolve_from_occurrences(text, meta, reads, names, quals, occs, truncated,
+                             opt: AlnOpt, sopt: SamseOpt | None = None,
+                             read_offset: int = 0):
+    """Core resolution over per-read Occurrence lists (position-space hit
+    sets — produced by collect_occurrences or directly by the pigeon
+    engine, whose candidates are already located)."""
+    sopt = sopt or SamseOpt()
     records = []
     for j, read in enumerate(reads):
         L = len(read)

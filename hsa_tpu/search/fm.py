@@ -191,12 +191,15 @@ def extend(idx, a, k, l, *, rev: bool = False):
     """Left-extend [k,l] with base a (uint32 vectors). Empty iff k' > l'.
 
     Callers must mask lanes where a > 3 themselves (N never matches).
+    Both interval ends go through ONE concatenated row gather (larger
+    gathers sit higher on the take() saturation curve).
     """
     a = jnp.minimum(a, 3).astype(U32)
+    B = k.shape[0]
+    o = occ_lt(idx, jnp.concatenate([a, a]),
+               jnp.concatenate([k, l + U32(1)]), rev=rev)
     Ca = jnp.take(idx.C, a.astype(I32))
-    k2 = Ca + occ_lt(idx, a, k, rev=rev)
-    l2 = Ca + occ_lt(idx, a, l + U32(1), rev=rev) - U32(1)
-    return k2, l2
+    return Ca + o[:B], Ca + o[B:] - U32(1)
 
 
 def extend4(idx, k, l):
@@ -208,14 +211,17 @@ def extend4(idx, k, l):
 
 
 def extend4_flat(idx, k, l):
-    """Flat all-bases extension: two tuples of 4 [B] vectors (k'_a, l'_a)."""
-    o_k = occ_lt4_flat(idx, k)
-    o_l = occ_lt4_flat(idx, l + U32(1))
+    """Flat all-bases extension: two tuples of 4 [B] vectors (k'_a, l'_a).
+
+    One concatenated row gather serves both interval ends.
+    """
+    B = k.shape[0]
+    o = occ_lt4_flat(idx, jnp.concatenate([k, l + U32(1)]))
     ks, ls = [], []
     for a in range(4):
         Ca = idx.C[a]
-        ks.append(Ca + o_k[a])
-        ls.append(Ca + o_l[a] - U32(1))
+        ks.append(Ca + o[a][:B])
+        ls.append(Ca + o[a][B:] - U32(1))
     return tuple(ks), tuple(ls)
 
 

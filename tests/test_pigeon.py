@@ -1,0 +1,169 @@
+"""Pigeonhole seed-and-verify engine vs the branch-and-bound oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hsa_tpu import alphabet
+from hsa_tpu.config import AlnOpt
+from hsa_tpu.fmcore import FMIndex, cal_width
+from hsa_tpu.index.layout import build_device_index
+from hsa_tpu.oracle.bnb import match_gap
+from hsa_tpu.search.pigeon import (pack_pigeon_batch, pack_text_rows,
+                                   pigeon_search, pigeon_occurrences,
+                                   PigeonResult)
+
+
+def make(n=20000, seed=11, sa_intv=8):
+    t = np.random.RandomState(seed).randint(0, 4, size=n).astype(np.int8)
+    ref = FMIndex.build(t, sa_intv=sa_intv)
+    dev = build_device_index(t, sa_intv=sa_intv).as_jax()
+    return t, ref, dev
+
+
+T, REF, DEV = make()
+TEXT_ROWS = jnp.asarray(pack_text_rows(T))
+
+
+def reads_with_planted(rs, n_reads, L=60, k=2, with_n=0):
+    reads, poss = [], []
+    for _ in range(n_reads):
+        p = rs.randint(0, len(T) - L)
+        r = T[p:p + L].copy()
+        for _ in range(rs.randint(0, k + 1)):
+            q = rs.randint(0, L)
+            r[q] = (r[q] + rs.randint(1, 4)) % 4
+        for _ in range(with_n):
+            r[rs.randint(0, L)] = 4
+        reads.append(r)
+        poss.append(p)
+    return reads, poss
+
+
+def run_pigeon(reads, opt, md_val=2, n_seg=3):
+    rc = [alphabet.revcomp(r) for r in reads]
+    both = list(reads) + rc
+    batch = pack_pigeon_batch(both, n_seg=n_seg, seed_len=opt.seed_len)
+    md = np.full(len(both), md_val, np.int32)
+    res = pigeon_search(
+        DEV, TEXT_ROWS, jnp.asarray(batch["segs_rev"]),
+        jnp.asarray(batch["seg_lens"]), jnp.asarray(batch["seg_off"]),
+        jnp.asarray(batch["rw"]), jnp.asarray(batch["nmask"]),
+        jnp.asarray(batch["vmask"]), jnp.asarray(batch["seedmask"]),
+        jnp.asarray(batch["lens"]), jnp.asarray(md), opt, n_seg=n_seg,
+        cand_cap=32)
+    return pigeon_occurrences(res, len(reads), opt, 32)
+
+
+def oracle_occ_set(read, opt, md_val, strand):
+    """(pos, strand, nmm) triples of the oracle hit set, window-filtered."""
+    rev = FMIndex.build(np.asarray(T[::-1]).copy(), sa_intv=8)
+    D = cal_width(rev, read)
+    hits = match_gap(REF, read, D, opt, max_diff=md_val)
+    out = {}
+    for h in hits:
+        for r in range(h.k, h.l + 1):
+            p = REF.locate(r)
+            key = (p, strand)
+            if key not in out or out[key][0] > h.score:
+                out[key] = (h.score, h.nmm)
+    return out
+
+
+OPT_MM = AlnOpt(max_diff=2, max_gapo=0)
+
+
+def test_pigeon_matches_oracle_mismatch_only():
+    rs = np.random.RandomState(0)
+    reads, _ = reads_with_planted(rs, 40, L=60, k=2)
+    occs, fb = run_pigeon(reads, OPT_MM, md_val=2)
+    n_checked = 0
+    for j, read in enumerate(reads):
+        if fb[j]:
+            continue
+        # oracle over both strands, window-filtered identically to resolve
+        o = oracle_occ_set(read, OPT_MM, 2, 0)
+        o.update(oracle_occ_set(alphabet.revcomp(read), OPT_MM, 2, 1))
+        if o:
+            best = min(v[0] for v in o.values())
+            o = {k: v for k, v in o.items() if v[0] <= best + OPT_MM.s_mm}
+        got_all = {(x.pos, x.strand): (x.score, x.nmm) for x in occs[j]}
+        if got_all:
+            bestg = min(v[0] for v in got_all.values())
+            got = {k: v for k, v in got_all.items()
+                   if v[0] <= bestg + OPT_MM.s_mm}
+        else:
+            got = {}
+        assert got == o, (j, sorted(got.items()), sorted(o.items()))
+        n_checked += 1
+    assert n_checked >= 30  # fallback must be rare on random genomes
+
+
+def test_pigeon_reads_with_n():
+    rs = np.random.RandomState(5)
+    reads, _ = reads_with_planted(rs, 12, L=60, k=1, with_n=1)
+    occs, fb = run_pigeon(reads, OPT_MM, md_val=2)
+    for j, read in enumerate(reads):
+        if fb[j]:
+            continue
+        o = oracle_occ_set(read, OPT_MM, 2, 0)
+        o.update(oracle_occ_set(alphabet.revcomp(read), OPT_MM, 2, 1))
+        if o:
+            best = min(v[0] for v in o.values())
+            o = {k: v for k, v in o.items() if v[0] <= best + OPT_MM.s_mm}
+        got_all = {(x.pos, x.strand): (x.score, x.nmm) for x in occs[j]}
+        if got_all:
+            bestg = min(v[0] for v in got_all.values())
+            got = {k: v for k, v in got_all.items()
+                   if v[0] <= bestg + OPT_MM.s_mm}
+        else:
+            got = {}
+        assert got == o, (j, sorted(got.items()), sorted(o.items()))
+
+
+def test_gapped_budget_triggers_fallback_only_when_needed():
+    """With gaps enabled, reads with a clean mismatch hit must NOT fall
+    back (gapped alignments cannot enter the reporting window), while
+    reads with no ungapped hit must."""
+    opt = AlnOpt(max_diff=2, max_gapo=1)
+    rs = np.random.RandomState(7)
+    reads, _ = reads_with_planted(rs, 10, L=60, k=1)
+    # an unalignable read: random sequence not from the genome
+    junk = rs.randint(0, 4, 60).astype(np.int8)
+    reads.append(junk)
+    occs, fb = run_pigeon(reads, opt, md_val=2)
+    assert not fb[:10].any(), "clean reads must stay on the pigeon path"
+    assert fb[10], "no-ungapped-hit read must fall back when gaps allowed"
+
+
+def test_budget_above_segments_falls_back():
+    rs = np.random.RandomState(9)
+    reads, _ = reads_with_planted(rs, 4, L=60, k=0)
+    occs, fb = run_pigeon(reads, OPT_MM, md_val=3)   # 3 > n_seg-1
+    assert fb.all()
+
+
+def test_four_segments_budget_three():
+    opt = AlnOpt(max_diff=3, max_gapo=0)
+    rs = np.random.RandomState(13)
+    reads, poss = reads_with_planted(rs, 20, L=80, k=3)
+    occs, fb = run_pigeon(reads, opt, md_val=3, n_seg=4)
+    n_checked = 0
+    for j, read in enumerate(reads):
+        if fb[j]:
+            continue
+        o = oracle_occ_set(read, opt, 3, 0)
+        o.update(oracle_occ_set(alphabet.revcomp(read), opt, 3, 1))
+        if o:
+            best = min(v[0] for v in o.values())
+            o = {k: v for k, v in o.items() if v[0] <= best + opt.s_mm}
+        got_all = {(x.pos, x.strand): (x.score, x.nmm) for x in occs[j]}
+        if got_all:
+            bestg = min(v[0] for v in got_all.values())
+            got = {k: v for k, v in got_all.items() if v[0] <= bestg + opt.s_mm}
+        else:
+            got = {}
+        assert got == o, (j, sorted(got.items()), sorted(o.items()))
+        n_checked += 1
+    assert n_checked >= 15
