@@ -35,7 +35,8 @@ import time
 import numpy as np
 
 GENOME_MBP = int(os.environ.get("HSA_BENCH_GENOME_MBP", "64"))
-BATCH = int(os.environ.get("HSA_BENCH_BATCH", "8192"))
+SA_INTV = int(os.environ.get("HSA_BENCH_SA_INTV", "8"))
+BATCH = int(os.environ.get("HSA_BENCH_BATCH", "32768"))
 READ_LEN = 100
 BEAM_W = int(os.environ.get("HSA_BENCH_BEAM_W", "64"))
 # adaptive escalation ladder (same output quality as flat BEAM_W: reads
@@ -53,7 +54,7 @@ def get_index():
     from hsa_tpu.index.layout import DeviceIndex, build_device_index
 
     os.makedirs(CACHE, exist_ok=True)
-    idx_path = os.path.join(CACHE, f"idx_{GENOME_MBP}M_v4.npz")
+    idx_path = os.path.join(CACHE, f"idx_{GENOME_MBP}M_v4_s{SA_INTV}.npz")
     txt_path = os.path.join(CACHE, f"txt_{GENOME_MBP}M.npy")
     if os.path.exists(idx_path) and os.path.exists(txt_path):
         try:
@@ -62,7 +63,7 @@ def get_index():
             pass  # stale layout version: rebuild below
     n = GENOME_MBP * 1_000_000
     t = np.random.RandomState(7).randint(0, 4, n).astype(np.int8)
-    di = build_device_index(t, sa_intv=32, with_reverse=True)
+    di = build_device_index(t, sa_intv=SA_INTV, with_reverse=True)
     di.save(idx_path)
     np.save(txt_path, t)
     return di, t
@@ -112,23 +113,38 @@ def main():
 
     if ENGINE == "pigeon":
         from hsa_tpu.search import pigeon as pg
+        from hsa_tpu.search.exact import kmer_table
         CC = 16
-        FBCAP = max(BATCH // 16, 8)   # beam-fallback sub-batch capacity
+        KMER = int(os.environ.get("HSA_BENCH_KMER", "12"))
+        FBCAP = max(BATCH // 64, 8)   # beam-fallback sub-batch capacity
         trows = jnp.asarray(pg.pack_text_rows(np.asarray(text)))
+        kt_path = os.path.join(CACHE, f"kmer{KMER}_{GENOME_MBP}M_s{SA_INTV}.npz")
+        if os.path.exists(kt_path):
+            z = np.load(kt_path)
+            tk, tl = jnp.asarray(z["tk"]), jnp.asarray(z["tl"])
+        else:
+            ktab_f = jax.jit(lambda arrs: kmer_table(join_idx(meta_, arrs), KMER))
+            tk, tl = ktab_f(arrays)
+            np.savez(kt_path, tk=np.asarray(tk), tl=np.asarray(tl))
         batch_np = pg.pack_pigeon_batch(list(fwd), n_seg=3,
-                                        seed_len=opt.seed_len)
+                                        seed_len=opt.seed_len, kmer_k=KMER)
         pig_args = tuple(jnp.asarray(batch_np[k]) for k in
                          ("segs_rev", "seg_lens", "seg_off", "rw", "nmask",
                           "vmask", "seedmask", "lens"))
+        seed_args = (tk, tl) + tuple(jnp.asarray(batch_np[k]) for k in
+                                     ("kmer", "kmer_ok", "seg_short"))
 
         @jax.jit
         def aln_step(arrs, trows, segs_rev, seg_lens, seg_off, rw, nmask,
-                     vmask, seedmask, plens, fwd, lens, md):
+                     vmask, seedmask, plens, fwd, lens, md,
+                     tk, tl, kmer, kmer_ok, seg_short):
             """Pigeonhole search + beam-ladder fallback, one dispatch."""
             idx = join_idx(meta_, arrs)
             res = pg.pigeon_search(idx, trows, segs_rev, seg_lens, seg_off,
                                    rw, nmask, vmask, seedmask, plens, md,
-                                   opt, n_seg=3, cand_cap=CC)
+                                   opt, n_seg=3, cand_cap=CC,
+                                   kmer_seed=(tk, tl, kmer, kmer_ok,
+                                              seg_short))
             v2 = res.valid.reshape(BATCH, CC)
             nm2 = jnp.where(v2, res.nmm.reshape(BATCH, CC), 999)
             any_hit = v2.any(axis=1)
@@ -162,7 +178,7 @@ def main():
             lost = fb.at[sub].set(jnp.where(sv, False, fb[sub]))
             return pos, mapped, lost, n_fb
 
-        step_args = (arrays, trows) + pig_args + (fwd_j, lens_j, md_j)
+        step_args = (arrays, trows) + pig_args + (fwd_j, lens_j, md_j) + seed_args
         t0 = time.time()
         pos, mapped_v, lost_v, n_fb = aln_step(*step_args)
         _ = np.asarray(pos[:8])

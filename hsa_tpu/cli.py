@@ -223,6 +223,27 @@ def _save_manifest(out, args_key, completed_reads, total):
                        total_reads=total), fh)
 
 
+def _stream_batches(path, batch, trim_qual=0):
+    """Yield (start_ordinal, names, reads, quals) batches with bounded RSS.
+
+    FASTQ goes through the native mmap batcher (no per-read Python objects
+    until a batch materializes); FASTA falls back to the simple loader.
+    """
+    if any(path.endswith(s) for s in (".fq", ".fastq", ".fq.gz", ".fastq.gz")):
+        from .io.fastq_fast import FastqBatcher
+        s = 0
+        for names, codes, lens, quals in FastqBatcher(path, batch=batch):
+            reads = [codes[i, :lens[i]] for i in range(len(names))]
+            reads, quals = _apply_trim(reads, quals, trim_qual)
+            yield s, names, reads, quals
+            s += len(names)
+    else:
+        names, reads, quals = _load_reads(path)
+        reads, quals = _apply_trim(reads, quals, trim_qual)
+        for s, bn, br, bq in _iter_batches(names, reads, quals, batch):
+            yield s, bn, br, bq
+
+
 def cmd_align(argv):
     p = argparse.ArgumentParser(prog="hsa-tpu align")
     p.add_argument("prefix")
@@ -234,6 +255,9 @@ def cmd_align(argv):
                    help="write a jax.profiler trace of one batch to this dir")
     p.add_argument("--resume", action="store_true",
                    help="resume an interrupted run from its .manifest.json")
+    p.add_argument("--engine", default="auto",
+                   choices=("auto", "pigeon", "beam"),
+                   help="search engine routing (default auto)")
     _add_search_opts(p)
     a = p.parse_args(argv)
     from .pipeline import Aligner
@@ -241,55 +265,52 @@ def cmd_align(argv):
     from .metrics import RunMetrics
     met = RunMetrics()
     met.config = dict(cmd="align", reads=a.reads, batch=a.batch,
-                      beam_width=a.beam_width, opt=_opt_from_args(a).to_dict())
+                      beam_width=a.beam_width, engine=a.engine,
+                      opt=_opt_from_args(a).to_dict())
     ladder = tuple(int(x) for x in a.ladder.split(",")) if a.ladder else None
     with met.timer("index_load"):
-        al = Aligner(a.prefix, _opt_from_args(a), ladder=ladder)
-    with met.timer("read_load"):
-        names, reads, quals = _load_reads(a.reads)
-        reads, quals = _apply_trim(reads, quals, getattr(a, "trim_qual", 0))
-    args_key = f"align|{a.reads}|{a.batch}|{a.beam_width}|{a.n}|{len(reads)}"
+        al = Aligner(a.prefix, _opt_from_args(a), ladder=ladder,
+                     engine=a.engine)
+    args_key = f"align|{a.reads}|{a.batch}|{a.beam_width}|{a.n}"
     done = _load_manifest(a.out, args_key) if a.resume else 0
     mode = "a" if (a.resume and done) else "w"
     out = open(a.out, mode) if a.out else sys.stdout
     if not done:
         out.write(sam_header(al.meta, "align"))
     if done:
-        met.log(f"resuming at read {done}/{len(reads)}")
+        met.log(f"resuming at read {done}")
     profiled = False
-    # Two-phase flow (docs/TPU_NOTES.md): phase A searches EVERY batch with
-    # results left on device (the process stays in the fast execution mode —
-    # the first device->host readback permanently degrades it), then phase B
-    # reads back and resolves on host.
-    handles = []
-    for s, bn, br, bq in _iter_batches(names, reads, quals, a.batch):
-        if s + len(br) <= done:
+    # Streaming single-phase loop: each batch is searched, resolved, and
+    # written before the next one starts — host RSS and device HBM stay
+    # bounded regardless of input size.  (The round-1 "two-phase, no
+    # readback" flow was built on a disproven timing model; honest
+    # measurement shows per-batch sync is the fast regime.)
+    total = 0
+    for s, bn, br, bq in _stream_batches(a.reads, a.batch,
+                                         getattr(a, "trim_qual", 0)):
+        total = s + len(br)
+        if total <= done:
             continue
         if a.profile and not profiled:
             import jax
             profiled = True
             with jax.profiler.trace(a.profile):
-                h = al.search_batch_device(br, beam_width=a.beam_width)
+                recs = al.align(br, bn, bq, read_offset=s,
+                                beam_width=a.beam_width,
+                                sopt=SamseOpt(n_multi=a.n_multi))
             met.log(f"profiler trace written to {a.profile}")
         else:
-            with met.timer("search"):
-                h = al.search_batch_device(br, beam_width=a.beam_width)
-        handles.append((s, bn, br, bq, h))
-        met.log(f"search {s + len(br)}/{len(reads)} reads")
-    if handles:  # wait for all device work before the first readback
-        import jax
-        jax.block_until_ready(handles[-1][4][0])
-    for s, bn, br, bq, h in handles:
-        with met.timer("align"):
-            recs = al.resolve_handle(h, br, bn, bq, read_offset=s,
-                                     sopt=SamseOpt(n_multi=a.n_multi))
+            with met.timer("align"):
+                recs = al.align(br, bn, bq, read_offset=s,
+                                beam_width=a.beam_width,
+                                sopt=SamseOpt(n_multi=a.n_multi))
         met.note_batch(len(br), recs, al.last_overflow)
         with met.timer("write"):
             for r in recs:
                 out.write(r.to_sam() + "\n")
             out.flush()
-        _save_manifest(a.out, args_key, s + len(br), len(reads))
-        met.log(f"align {s + len(br)}/{len(reads)} reads")
+        _save_manifest(a.out, args_key, total, -1)
+        met.log(f"align {total} reads")
     if a.out:
         out.close()
     s = met.dump(a.metrics)

@@ -101,6 +101,23 @@ class Aligner:
                              f"(Lmax={Lmax}, md_max={md_max})")
         return n_seg if ok else None
 
+    @property
+    def _kmer_k(self):
+        """K-mer seeding depth: 12 for genomes where 12-mers are selective
+        (table build cost is amortized); 0 disables (tiny genomes/tests)."""
+        return 12 if self.di.n >= (1 << 24) else 0
+
+    def _kmer_tables(self):
+        if not hasattr(self, "_ktabs"):
+            import jax
+            from .search.jitcache import split_idx, join_idx
+            from .search.exact import kmer_table
+            arrays, meta = split_idx(self.dev)
+            K = self._kmer_k
+            f = jax.jit(lambda arrs: kmer_table(join_idx(meta, arrs), K))
+            self._ktabs = f(arrays)
+        return self._ktabs
+
     def _pigeon_search_fn(self, n_seg):
         key = n_seg
         f = self._pigeon_jit.get(key)
@@ -114,19 +131,29 @@ class Aligner:
                 import jax.numpy as jnp
                 self._text_rows = jnp.asarray(pg.pack_text_rows(self.text))
             trows = self._text_rows
+            with_kmer = self._kmer_k > 0
 
             @jax.jit
             def core(arrs, trows, segs_rev, seg_lens, seg_off, rw, nmask,
-                     vmask, seedmask, lens, md):
+                     vmask, seedmask, lens, md, *seed):
                 idx = join_idx(meta, arrs)
                 return pg.pigeon_search(idx, trows, segs_rev, seg_lens,
                                         seg_off, rw, nmask, vmask, seedmask,
                                         lens, md, opt, n_seg=n_seg,
-                                        cand_cap=CC)
+                                        cand_cap=CC,
+                                        kmer_seed=seed if seed else None)
 
-            f = lambda b, md: core(arrays, trows, b["segs_rev"], b["seg_lens"],
-                                   b["seg_off"], b["rw"], b["nmask"],
-                                   b["vmask"], b["seedmask"], b["lens"], md)
+            def f(b, md):
+                seed = ()
+                if with_kmer:
+                    import jax.numpy as jnp
+                    tk, tl = self._kmer_tables()
+                    seed = (tk, tl, jnp.asarray(b["kmer"]),
+                            jnp.asarray(b["kmer_ok"]),
+                            jnp.asarray(b["seg_short"]))
+                return core(arrays, trows, b["segs_rev"], b["seg_lens"],
+                            b["seg_off"], b["rw"], b["nmask"], b["vmask"],
+                            b["seedmask"], b["lens"], md, *seed)
             self._pigeon_jit[key] = f
         return f
 
@@ -136,7 +163,8 @@ class Aligner:
         rc = [alphabet.revcomp(r) for r in reads]
         both = list(reads) + rc
         batch = pg.pack_pigeon_batch(both, n_seg=n_seg,
-                                     seed_len=self.opt.seed_len)
+                                     seed_len=self.opt.seed_len,
+                                     kmer_k=self._kmer_k)
         md = np.array([self.opt.diff_budget(len(r)) for r in both], np.int32)
         res = self._pigeon_search_fn(n_seg)(batch, md)
         return pg.pigeon_occurrences(res, len(reads), self.opt,
@@ -204,11 +232,43 @@ class Aligner:
     # -- full pipeline -----------------------------------------------------
     def align(self, reads, names=None, quals=None, *, read_offset: int = 0,
               beam_width=None, max_hits=32, sopt: SamseOpt | None = None):
-        """reads: list of int8 code arrays -> list of AlnRecord."""
-        h = self.search_batch_device(reads, beam_width=beam_width,
-                                     max_hits=max_hits)
-        return self.resolve_handle(h, reads, names, quals,
-                                   read_offset=read_offset, sopt=sopt)
+        """reads: list of int8 code arrays -> list of AlnRecord.
+
+        Routes through the pigeon engine when eligible (engine="auto");
+        per-read fallbacks re-run on the beam ladder and the two hit
+        sources merge at resolution.
+        """
+        n_seg = self._pigeon_eligible(reads)
+        if n_seg is None:
+            h = self.search_batch_device(reads, beam_width=beam_width,
+                                         max_hits=max_hits)
+            return self.resolve_handle(h, reads, names, quals,
+                                       read_offset=read_offset, sopt=sopt)
+        from .resolve.samse import (collect_occurrences,
+                                    resolve_from_occurrences)
+        occs, fb = self.pigeon_occurrences(reads, n_seg)
+        truncated = [False] * len(reads)
+        fb_ids = [j for j in range(len(reads)) if fb[j]]
+        self.last_fallback_frac = len(fb_ids) / max(len(reads), 1)
+        ld = np.zeros(len(reads), np.int32)
+        hd = np.zeros(len(reads), np.int32)
+        if fb_ids:
+            sub = [reads[j] for j in fb_ids]
+            hf, hr = self.search_batch(sub, beam_width=beam_width,
+                                       max_hits=max_hits, ladder=self.ladder)
+            sub_occs, sub_trunc = collect_occurrences(hf, hr, self.locate_fn)
+            sld, shd = self.last_overflow
+            half = len(sub)
+            for i, j in enumerate(fb_ids):
+                occs[j] = sub_occs[i]
+                truncated[j] = sub_trunc[i]
+                ld[j] = max(sld[i], sld[half + i] if len(sld) > half else 0)
+                hd[j] = max(shd[i], shd[half + i] if len(shd) > half else 0)
+        self.last_overflow = (ld, hd)
+        names = names or [f"read{read_offset + i}" for i in range(len(reads))]
+        return resolve_from_occurrences(self.text, self.meta, reads, names,
+                                        quals, occs, truncated, self.opt,
+                                        sopt, read_offset=read_offset)
 
     def resolve_handle(self, handle, reads, names=None, quals=None, *,
                        read_offset: int = 0, sopt: SamseOpt | None = None):

@@ -38,15 +38,20 @@ def pack_reads(reads, max_len: int):
     return out, lens
 
 
-def exact_search(idx, reads_rev, lens):
+def exact_search(idx, reads_rev, lens, init=None):
     """(k, l, matched): SA intervals of each full read; matched=False if absent.
 
     reads_rev: uint8/int32 [B, Lmax] in processing order, PAD-padded.
+    ``init``: optional (k0, l0, alive0) seed state — e.g. K-mer-table
+    intervals for the already-consumed prefix (see :func:`kmer_table`).
     """
     B = reads_rev.shape[0]
-    k0 = jnp.zeros(B, dtype=U32)
-    l0 = jnp.full(B, idx.n, dtype=U32)
-    alive0 = lens > 0
+    if init is None:
+        k0 = jnp.zeros(B, dtype=U32)
+        l0 = jnp.full(B, idx.n, dtype=U32)
+        alive0 = lens > 0
+    else:
+        k0, l0, alive0 = init
 
     def step(carry, col):
         k, l, alive = carry
@@ -62,6 +67,28 @@ def exact_search(idx, reads_rev, lens):
 
     (k, l, alive), _ = lax.scan(step, (k0, l0, alive0), reads_rev.T.astype(jnp.int32))
     return k, l, alive & (k <= l)
+
+
+def kmer_table(idx, K: int):
+    """SA intervals of every K-mer: (tk, tl) uint32[4^K] — jittable BFS.
+
+    Index convention matches backward-search consumption order: a pattern
+    consumed as c_0, c_1, ... (rightmost character first) has index
+    p = sum_t c_t * 4^(K-1-t); empty intervals are the self-propagating
+    sentinel (1, 0).  Seeding a segment search with ``tk[p], tl[p]``
+    replaces the first K scan steps with one table gather per end.
+    """
+    k = jnp.zeros(1, U32)
+    l = jnp.full(1, idx.n, U32)
+    for level in range(K):
+        ks = jnp.repeat(k, 4)
+        ls = jnp.repeat(l, 4)
+        a = jnp.tile(jnp.arange(4, dtype=U32), 4 ** level)
+        k2, l2 = fm.extend(idx, a, ks, ls)
+        empty = k2 > l2
+        k = jnp.where(empty, U32(1), k2)
+        l = jnp.where(empty, U32(0), l2)
+    return k, l
 
 
 def locate_all(idx, k, l, matched, cap: int):

@@ -85,35 +85,47 @@ def pack_text_rows(text: np.ndarray) -> np.ndarray:
 
 
 def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
-                      seed_len: int = 32):
+                      seed_len: int = 32, kmer_k: int = 0):
     """Host-side packing for the pigeon engine.
 
     reads: list of int8/uint8 code arrays (codes 0..4; 4 = N).
     Returns dict of numpy arrays:
-      segs_rev uint8[n_seg*B, SL]  reversed segment bases (seg-major lanes)
-      seg_lens int32[n_seg*B]
-      seg_off  int32[n_seg*B]     segment offset within the read
-      rw       uint32[B, RW]      packed 2-bit read (N->0)
-      nmask    uint32[B, RW]      PAT-patterned pair bits at N positions
-      vmask    uint32[B, RW]      PAT-patterned pair bits at positions < len
-      seedmask uint32[B, RW]      PAT-patterned pair bits in the 3' seed
+      segs_rev uint8[n_seg*B, SL]  reversed segment bases (seg-major lanes);
+                                   with kmer_k > 0 the first kmer_k consumed
+                                   bases are OMITTED (the K-mer table seeds
+                                   them), so SL shrinks accordingly
+      seg_lens int32[n_seg*B]      remaining (tail) segment lengths
+      seg_off  int32[n_seg*B]      segment offset within the read
+      kmer     int32[n_seg*B]      K-mer table index of the seeded prefix
+      kmer_ok  uint8[n_seg*B]      1 = lane seeded (len >= K, no N in seed)
+      seg_short uint8[n_seg*B]     1 = segment too short to seed (read must
+                                   fall back; only when kmer_k > 0)
+      rw       uint32[B, RW]       packed 2-bit read (N->0)
+      nmask    uint32[B, RW]       PAT-patterned pair bits at N positions
+      vmask    uint32[B, RW]       PAT-patterned pair bits at positions < len
+      seedmask uint32[B, RW]       PAT-patterned pair bits in the 3' seed
       lens     int32[B]
     """
     B = len(reads)
+    K = kmer_k
     Lmax = max_len or max((len(r) for r in reads), default=1)
     if Lmax > MAX_READ_LEN:
         raise ValueError(f"pigeon engine handles reads <= {MAX_READ_LEN}bp "
                          f"(got {Lmax}); route longer reads to the beam")
-    SL = (Lmax + n_seg - 1) // n_seg + 1
+    SL = max((Lmax + n_seg - 1) // n_seg + 1 - K, 1)
     RW = (Lmax + 15) // 16 + 1
     segs_rev = np.full((n_seg * B, SL), PAD, dtype=np.uint8)
     seg_lens = np.zeros(n_seg * B, dtype=np.int32)
     seg_off = np.zeros(n_seg * B, dtype=np.int32)
+    kmer = np.zeros(n_seg * B, dtype=np.int32)
+    kmer_ok = np.zeros(n_seg * B, dtype=np.uint8)
+    seg_short = np.zeros(n_seg * B, dtype=np.uint8)
     rw = np.zeros((B, RW), dtype=np.uint32)
     nmask = np.zeros((B, RW), dtype=np.uint32)
     vmask = np.zeros((B, RW), dtype=np.uint32)
     seedmask = np.zeros((B, RW), dtype=np.uint32)
     lens = np.zeros(B, dtype=np.int32)
+    pw = (4 ** np.arange(K - 1, -1, -1, dtype=np.int64)) if K else None
     for j, r in enumerate(reads):
         r = np.asarray(r, dtype=np.uint8)
         L = len(r)
@@ -121,11 +133,25 @@ def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
         bounds = [L * s // n_seg for s in range(n_seg + 1)]
         for s in range(n_seg):
             a, b = bounds[s], bounds[s + 1]
-            if b > a:
-                seg = r[a:b]
-                segs_rev[s * B + j, :b - a] = seg[::-1]
-                seg_lens[s * B + j] = b - a
-                seg_off[s * B + j] = a
+            if b <= a:
+                continue
+            lane = s * B + j
+            seg = r[a:b][::-1]          # consumption order
+            seg_off[lane] = a
+            if K == 0:
+                segs_rev[lane, :b - a] = seg
+                seg_lens[lane] = b - a
+            elif b - a < K:
+                seg_short[lane] = 1
+            else:
+                head = seg[:K]
+                if (head <= 3).all():
+                    kmer[lane] = int((head.astype(np.int64) * pw).sum())
+                    kmer_ok[lane] = 1
+                    segs_rev[lane, :b - a - K] = seg[K:]
+                    seg_lens[lane] = b - a - K
+                # N inside the seeded prefix: segment is exactly-unmatchable
+                # (an exact segment cannot contain N) — lane stays dead
         codes = r.astype(np.uint32)
         isn = codes > 3
         codes = np.where(isn, 0, codes)
@@ -138,6 +164,7 @@ def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
         seed = t >= max(L - seed_len, 0)
         np.add.at(seedmask[j], t[seed] // 16, pair[seed])
     return dict(segs_rev=segs_rev, seg_lens=seg_lens, seg_off=seg_off,
+                kmer=kmer, kmer_ok=kmer_ok, seg_short=seg_short,
                 rw=rw, nmask=nmask, vmask=vmask, seedmask=seedmask, lens=lens)
 
 
@@ -155,12 +182,16 @@ def _select16(words, idx16):
 def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
                   vmask, seedmask, lens, md, opt, *, n_seg: int = 3,
                   seg_cap: int = 32, cand_cap: int = 32,
-                  pool: int | None = None) -> PigeonResult:
+                  pool: int | None = None, kmer_seed=None) -> PigeonResult:
     """Device pigeonhole search (see module docstring).  Traceable; all
     array arguments must reach the jit as parameters, not closures.
 
     md: int32[B] per-read diff budgets.  ``pool``: dense candidate-pool
-    capacity (default 4*B).
+    capacity (default 4*B).  ``kmer_seed``: optional
+    (tk, tl, kmer, kmer_ok, seg_short) — K-mer-table seeding from
+    :func:`hsa_tpu.search.exact.kmer_table` + ``pack_pigeon_batch``'s
+    kmer fields; replaces the first K scan steps of every segment with
+    one table gather per interval end.
     """
     lens = jnp.asarray(lens, I32)
     md = jnp.asarray(md, I32)
@@ -170,7 +201,20 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
     POOL = pool or 4 * B
 
     # 1. anchor: lockstep exact search of all segments
-    k, l, matched = exact_search(idx, segs_rev, seg_lens)
+    short_fb = jnp.zeros(B, bool)
+    if kmer_seed is None:
+        k, l, matched = exact_search(idx, segs_rev, seg_lens)
+    else:
+        tk, tl, kmer, kmer_ok, seg_short = kmer_seed
+        k0 = lax.optimization_barrier(jnp.take(tk, kmer))
+        l0 = lax.optimization_barrier(jnp.take(tl, kmer))
+        okk = kmer_ok.astype(bool)
+        k0 = jnp.where(okk, k0, U32(1))
+        l0 = jnp.where(okk, l0, U32(0))
+        alive0 = okk & (k0 <= l0)
+        k, l, matched = exact_search(idx, segs_rev, seg_lens,
+                                     init=(k0, l0, alive0))
+        short_fb = seg_short.astype(bool).reshape(n_seg, B).any(axis=0)
     w = jnp.where(matched, l - k + U32(1), U32(0))
     ok = matched & (w <= U32(seg_cap))
     c = jnp.where(ok, w, U32(0)).astype(I32).reshape(n_seg, B)
@@ -262,7 +306,8 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
     # The gapped-window fallback is decided per READ over both strands at
     # finalization (pigeon_occurrences) — a lane with no hit is normal for
     # the wrong strand and must not flag the read by itself.
-    fallback = seg_over | cand_over | pool_lost | (md > (n_seg - 1))
+    fallback = (seg_over | cand_over | pool_lost | short_fb
+                | (md > (n_seg - 1)))
     return PigeonResult(pos=pos_o, nmm=nmm_o, valid=val_o, fallback=fallback,
                         n_cand=jnp.minimum(total, CC))
 

@@ -167,3 +167,57 @@ def test_four_segments_budget_three():
         assert got == o, (j, sorted(got.items()), sorted(o.items()))
         n_checked += 1
     assert n_checked >= 15
+
+
+def test_kmer_table_matches_exact_intervals():
+    from hsa_tpu.search.exact import kmer_table
+    K = 6
+    tk, tl = kmer_table(DEV, K)
+    tk, tl = np.asarray(tk), np.asarray(tl)
+    rs = np.random.RandomState(3)
+    for _ in range(50):
+        pat = rs.randint(0, 4, K)
+        # index: consumption order is rightmost char first
+        p = int(sum(int(c) * 4 ** (K - 1 - t) for t, c in enumerate(pat[::-1])))
+        ek, el = REF.exact_interval(pat)
+        if ek <= el:
+            assert (tk[p], tl[p]) == (ek, el)
+        else:
+            assert tk[p] > tl[p]
+
+
+def test_pigeon_kmer_seeding_equivalent():
+    from hsa_tpu.search.exact import kmer_table
+    K = 6
+    tk, tl = kmer_table(DEV, K)
+    rs = np.random.RandomState(21)
+    reads, _ = reads_with_planted(rs, 30, L=60, k=2)
+    reads.append(np.concatenate([reads[0][:20], [4], reads[0][21:]]).astype(np.int8))
+    rc = [alphabet.revcomp(r) for r in reads]
+    both = list(reads) + rc
+    md = np.full(len(both), 2, np.int32)
+
+    b0 = pack_pigeon_batch(both, n_seg=3, seed_len=OPT_MM.seed_len)
+    r0 = pigeon_search(DEV, TEXT_ROWS, jnp.asarray(b0["segs_rev"]),
+                       jnp.asarray(b0["seg_lens"]), jnp.asarray(b0["seg_off"]),
+                       jnp.asarray(b0["rw"]), jnp.asarray(b0["nmask"]),
+                       jnp.asarray(b0["vmask"]), jnp.asarray(b0["seedmask"]),
+                       jnp.asarray(b0["lens"]), jnp.asarray(md), OPT_MM,
+                       n_seg=3, cand_cap=32)
+    o0, f0 = pigeon_occurrences(r0, len(reads), OPT_MM, 32)
+
+    b1 = pack_pigeon_batch(both, n_seg=3, seed_len=OPT_MM.seed_len, kmer_k=K)
+    r1 = pigeon_search(DEV, TEXT_ROWS, jnp.asarray(b1["segs_rev"]),
+                       jnp.asarray(b1["seg_lens"]), jnp.asarray(b1["seg_off"]),
+                       jnp.asarray(b1["rw"]), jnp.asarray(b1["nmask"]),
+                       jnp.asarray(b1["vmask"]), jnp.asarray(b1["seedmask"]),
+                       jnp.asarray(b1["lens"]), jnp.asarray(md), OPT_MM,
+                       n_seg=3, cand_cap=32,
+                       kmer_seed=(tk, tl, jnp.asarray(b1["kmer"]),
+                                  jnp.asarray(b1["kmer_ok"]),
+                                  jnp.asarray(b1["seg_short"])))
+    o1, f1 = pigeon_occurrences(r1, len(reads), OPT_MM, 32)
+    assert (f0 == f1).all()
+    for a, b in zip(o0, o1):
+        assert [(x.pos, x.strand, x.score) for x in a] == \
+               [(x.pos, x.strand, x.score) for x in b]
