@@ -363,27 +363,22 @@ def cmd_align_pe(argv):
     al = Aligner(a.prefix, _opt_from_args(a))
     names1, reads1, quals1 = _load_reads(a.reads1)
     names2, reads2, quals2 = _load_reads(a.reads2)
+    reads1, quals1 = _apply_trim(reads1, quals1, getattr(a, "trim_qual", 0))
+    reads2, quals2 = _apply_trim(reads2, quals2, getattr(a, "trim_qual", 0))
     assert len(reads1) == len(reads2), "mate files differ in read count"
     out = open(a.out, "w") if a.out else sys.stdout
     out.write(sam_header(al.meta, "align-pe"))
     peopt = PEOpt(max_isize=a.max_isize)
-    handles = []
+    # streaming: each pair batch is searched (pigeon + beam fallback),
+    # resolved, and written before the next starts
     for s in range(0, len(reads1), a.batch):
         e = min(s + a.batch, len(reads1))
-        h = al.search_batch_device(list(reads1[s:e]) + list(reads2[s:e]),
-                                   beam_width=a.beam_width)
-        handles.append((s, e, h))
-        print(f"[hsa-tpu align-pe] search {e}/{len(reads1)} pairs", file=sys.stderr)
-    from .resolve.sampe import resolve_batch_pe
-    for s, e, h in handles:
-        hf, hr = al.hits_from_device(h)
-        B = e - s
-        recs = resolve_batch_pe(al.text, al.meta, reads1[s:e], reads2[s:e],
-                                names1[s:e], quals1[s:e], quals2[s:e],
-                                (hf[:B], hr[:B]), (hf[B:], hr[B:]),
-                                al.locate_fn, al.opt, peopt, read_offset=s)
+        recs = al.align_pe(reads1[s:e], reads2[s:e], names1[s:e],
+                           quals1[s:e], quals2[s:e], read_offset=s,
+                           beam_width=a.beam_width, peopt=peopt)
         for r in recs:
             out.write(r.to_sam() + "\n")
+        out.flush()
         print(f"[hsa-tpu align-pe] {e}/{len(reads1)} pairs", file=sys.stderr)
     if a.out:
         out.close()

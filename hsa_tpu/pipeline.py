@@ -283,20 +283,76 @@ class Aligner:
     def align_pe(self, reads1, reads2, names=None, quals1=None, quals2=None, *,
                  read_offset: int = 0, beam_width=None, max_hits=32,
                  peopt=None):
-        """Paired ends -> interleaved [rec1, rec2, ...] records."""
-        from .resolve.sampe import resolve_batch_pe
+        """Paired ends -> interleaved [rec1, rec2, ...] records.
+
+        Routes through the pigeon engine when eligible, exactly like
+        :meth:`align`; both ends of a fallback pair re-run on the beam.
+        """
         names = names or [f"pair{read_offset + i}" for i in range(len(reads1))]
-        # one device batch for both ends (and both strands)
         B = len(reads1)
-        h = self.search_batch_device(list(reads1) + list(reads2),
-                                     beam_width=beam_width, max_hits=max_hits)
-        hf, hr = self.hits_from_device(h)
-        lf = h[2].locate_fn(self.locate_fn)
-        hits1 = (hf[:B], hr[:B])
-        hits2 = (hf[B:], hr[B:])
-        return resolve_batch_pe(self.text, self.meta, reads1, reads2, names,
-                                quals1, quals2, hits1, hits2, lf,
-                                self.opt, peopt, read_offset=read_offset)
+        all_reads = list(reads1) + list(reads2)
+        n_seg = self._pigeon_eligible(all_reads)
+        if n_seg is None:
+            from .resolve.sampe import resolve_batch_pe
+            h = self.search_batch_device(all_reads, beam_width=beam_width,
+                                         max_hits=max_hits)
+            hf, hr = self.hits_from_device(h)
+            lf = h[2].locate_fn(self.locate_fn)
+            return resolve_batch_pe(self.text, self.meta, reads1, reads2,
+                                    names, quals1, quals2,
+                                    (hf[:B], hr[:B]), (hf[B:], hr[B:]), lf,
+                                    self.opt, peopt, read_offset=read_offset)
+        from .resolve.samse import collect_occurrences
+        from .resolve.sampe import resolve_pe_from_occurrences
+        occs, fb = self.pigeon_occurrences(all_reads, n_seg)
+        occs1, occs2 = occs[:B], occs[B:]
+        trunc = [False] * 2 * B
+        fb_ids = [j for j in range(2 * B) if fb[j]]
+        self.last_fallback_frac = len(fb_ids) / max(2 * B, 1)
+        if fb_ids:
+            sub = [all_reads[j] for j in fb_ids]
+            hf, hr = self.search_batch(sub, beam_width=beam_width,
+                                       max_hits=max_hits, ladder=self.ladder)
+            sub_occs, sub_trunc = collect_occurrences(hf, hr, self.locate_fn)
+            for i, j in enumerate(fb_ids):
+                (occs1 if j < B else occs2)[j % B] = sub_occs[i]
+                trunc[j] = sub_trunc[i]
+        return resolve_pe_from_occurrences(self.text, self.meta, reads1,
+                                           reads2, names, quals1, quals2,
+                                           occs1, occs2, self.opt, peopt,
+                                           read_offset=read_offset,
+                                           trunc1=trunc[:B], trunc2=trunc[B:])
+
+
+def oracle_align_pe(text, meta, reads1, reads2, names, quals1, quals2, opt,
+                    peopt=None, read_offset=0):
+    """Reference-path paired alignment: oracle search + shared resolution.
+
+    Ground truth for end-to-end PE record parity (SURVEY.md §4.1).
+    """
+    from .fmcore import FMIndex
+    from .oracle.bnb import align_read
+    from .resolve.sampe import resolve_batch_pe
+
+    fm_f = FMIndex.build(np.asarray(text, np.int8))
+    fm_r = FMIndex.build(np.asarray(text, np.int8)[::-1].copy())
+
+    def side(reads):
+        hf, hr = [], []
+        for r in reads:
+            hf.append(align_read(fm_f, fm_r, np.asarray(r, np.int8), opt))
+            hr.append(align_read(fm_f, fm_r,
+                                 alphabet.revcomp(np.asarray(r, np.int8)), opt))
+        return hf, hr
+
+    def locate_fn(ranks):
+        return np.array([fm_f.locate(int(r)) for r in ranks], dtype=np.int64)
+
+    h1 = side(reads1)
+    h2 = side(reads2)
+    return resolve_batch_pe(text, meta, reads1, reads2, names, quals1,
+                            quals2, h1, h2, locate_fn, opt, peopt,
+                            read_offset=read_offset)
 
 
 def oracle_align(text, meta, reads, names, quals, opt, sopt=None, read_offset=0):

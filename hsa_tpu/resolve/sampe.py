@@ -164,12 +164,28 @@ def resolve_batch_pe(text, meta, reads1, reads2, names, quals1, quals2,
 
     hits1/hits2: (hits_fwd, hits_rc) tuples per end from the search engine.
     """
-    from .samse import _span_possible
     peopt = peopt or PEOpt()
-    B = len(reads1)
     cap = min(peopt.max_occ, max_occ)  # -o, bounded by the locate-cost cap
     occs1, trunc1 = collect_occurrences(hits1[0], hits1[1], locate_fn, cap)
     occs2, trunc2 = collect_occurrences(hits2[0], hits2[1], locate_fn, cap)
+    return resolve_pe_from_occurrences(text, meta, reads1, reads2, names,
+                                       quals1, quals2, occs1, occs2, opt,
+                                       peopt, read_offset=read_offset,
+                                       trunc1=trunc1, trunc2=trunc2)
+
+
+def resolve_pe_from_occurrences(text, meta, reads1, reads2, names, quals1,
+                                quals2, occs1, occs2, opt: AlnOpt,
+                                peopt: PEOpt | None = None,
+                                read_offset: int = 0, trunc1=None,
+                                trunc2=None):
+    """Core paired resolution over per-read Occurrence lists (from
+    collect_occurrences or the pigeon engine directly)."""
+    from .samse import _span_possible
+    peopt = peopt or PEOpt()
+    B = len(reads1)
+    trunc1 = trunc1 if trunc1 is not None else [False] * B
+    trunc2 = trunc2 if trunc2 is not None else [False] * B
 
     def bfilter(lst, L):
         return [o for o in lst if _span_possible(meta, o, L)]

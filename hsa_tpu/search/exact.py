@@ -83,7 +83,9 @@ def kmer_table(idx, K: int):
     for level in range(K):
         ks = jnp.repeat(k, 4)
         ls = jnp.repeat(l, 4)
-        a = jnp.tile(jnp.arange(4, dtype=U32), 4 ** level)
+        # child base via iota, NOT tile(arange(4)): a tiled constant would
+        # embed a 4^K-element literal in the HLO (slow remote compiles)
+        a = jnp.arange(4 ** (level + 1), dtype=U32) & U32(3)
         k2, l2 = fm.extend(idx, a, ks, ls)
         empty = k2 > l2
         k = jnp.where(empty, U32(1), k2)

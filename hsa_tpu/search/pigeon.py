@@ -85,17 +85,27 @@ def pack_text_rows(text: np.ndarray) -> np.ndarray:
 
 
 def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
-                      seed_len: int = 32, kmer_k: int = 0):
+                      seed_len: int = 32, kmer_k: int = 0,
+                      anchor_tail: int = 6):
     """Host-side packing for the pigeon engine.
 
     reads: list of int8/uint8 code arrays (codes 0..4; 4 = N).
+
+    With ``kmer_k`` > 0, each segment anchors on a SUB-segment: its last
+    ``kmer_k + anchor_tail`` bases (K-mer-table seed + short exact tail).
+    Completeness is unchanged — an alignment whose segment is exact also
+    has that segment's suffix exact — and verification rejects the rare
+    spurious anchor (expected extra candidates per anchor ≈
+    n / 4^(kmer_k+anchor_tail)).  This caps the anchor scan at
+    ``anchor_tail`` steps instead of the full segment length.
+
     Returns dict of numpy arrays:
-      segs_rev uint8[n_seg*B, SL]  reversed segment bases (seg-major lanes);
+      segs_rev uint8[n_seg*B, SL]  reversed anchor-tail bases (seg-major);
                                    with kmer_k > 0 the first kmer_k consumed
                                    bases are OMITTED (the K-mer table seeds
-                                   them), so SL shrinks accordingly
-      seg_lens int32[n_seg*B]      remaining (tail) segment lengths
-      seg_off  int32[n_seg*B]      segment offset within the read
+                                   them)
+      seg_lens int32[n_seg*B]      remaining (tail) anchor lengths
+      seg_off  int32[n_seg*B]      offset of the ANCHOR within the read
       kmer     int32[n_seg*B]      K-mer table index of the seeded prefix
       kmer_ok  uint8[n_seg*B]      1 = lane seeded (len >= K, no N in seed)
       seg_short uint8[n_seg*B]     1 = segment too short to seed (read must
@@ -112,7 +122,8 @@ def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
     if Lmax > MAX_READ_LEN:
         raise ValueError(f"pigeon engine handles reads <= {MAX_READ_LEN}bp "
                          f"(got {Lmax}); route longer reads to the beam")
-    SL = max((Lmax + n_seg - 1) // n_seg + 1 - K, 1)
+    seg_max = (Lmax + n_seg - 1) // n_seg + 1
+    SL = max(min(seg_max - K, anchor_tail) if K else seg_max, 1)
     RW = (Lmax + 15) // 16 + 1
     segs_rev = np.full((n_seg * B, SL), PAD, dtype=np.uint8)
     seg_lens = np.zeros(n_seg * B, dtype=np.int32)
@@ -144,12 +155,14 @@ def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
             elif b - a < K:
                 seg_short[lane] = 1
             else:
+                A = min(b - a, K + anchor_tail)   # anchor = segment suffix
                 head = seg[:K]
                 if (head <= 3).all():
                     kmer[lane] = int((head.astype(np.int64) * pw).sum())
                     kmer_ok[lane] = 1
-                    segs_rev[lane, :b - a - K] = seg[K:]
-                    seg_lens[lane] = b - a - K
+                    segs_rev[lane, :A - K] = seg[K:A]
+                    seg_lens[lane] = A - K
+                    seg_off[lane] = a + (b - a) - A  # anchor offset in read
                 # N inside the seeded prefix: segment is exactly-unmatchable
                 # (an exact segment cannot contain N) — lane stays dead
         codes = r.astype(np.uint32)

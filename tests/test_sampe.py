@@ -131,3 +131,40 @@ def test_one_end_unmappable_no_rescue_possible(pe_env):
     if b.flag & F_UNMAP:
         assert a.flag & F_MUNMAP
         assert b.rname == a.rname and b.pos == a.pos
+
+
+def test_pe_record_parity_device_vs_oracle(pe_env):
+    """Byte-equal SAM records: device pipeline (pigeon + beam fallback)
+    vs the full-oracle pipeline, incl. flags/tlen/mate fields (VERDICT
+    round-1 item 8)."""
+    from hsa_tpu.pipeline import oracle_align_pe
+    al, chrom = pe_env
+    text = alphabet.encode(chrom)
+    rs = np.random.RandomState(31)
+    n = len(text)
+    reads1, reads2, names = [], [], []
+    isize = 300
+    for j in range(12):
+        p = rs.randint(0, n - isize - 10)
+        L = 60
+        r1 = np.asarray(text[p:p + L], np.int8).copy()
+        r2_fwd = np.asarray(text[p + isize - L:p + isize], np.int8)
+        r2 = alphabet.revcomp(r2_fwd)
+        if j % 3 == 0:
+            q = rs.randint(0, L)
+            r1[q] = (r1[q] + rs.randint(1, 4)) % 4
+        reads1.append(r1)
+        reads2.append(r2)
+        names.append(f"pair{j}")
+    # one discordant / junk pair
+    reads1.append(rs.randint(0, 4, 60).astype(np.int8))
+    reads2.append(alphabet.revcomp(np.asarray(text[100:160], np.int8)))
+    names.append("halfjunk")
+    opt = AlnOpt(max_diff=2)
+    al.opt = opt
+    dev = al.align_pe(reads1, reads2, names, beam_width=256)
+    ora = oracle_align_pe(al.text, al.meta, reads1, reads2, names, None,
+                          None, opt)
+    assert len(dev) == len(ora)
+    for d, o in zip(dev, ora):
+        assert d.to_sam() == o.to_sam(), (d.to_sam(), o.to_sam())
