@@ -54,7 +54,7 @@ def get_index():
     from hsa_tpu.index.layout import DeviceIndex, build_device_index
 
     os.makedirs(CACHE, exist_ok=True)
-    idx_path = os.path.join(CACHE, f"idx_{GENOME_MBP}M_v4_s{SA_INTV}.npz")
+    idx_path = os.path.join(CACHE, f"idx_{GENOME_MBP}M_v4b_s{SA_INTV}.npz")
     txt_path = os.path.join(CACHE, f"txt_{GENOME_MBP}M.npy")
     if os.path.exists(idx_path) and os.path.exists(txt_path):
         try:

@@ -69,6 +69,9 @@ class ShardedIndex:
         samples = _pad_rows(di.samples, ns)
         self.occ_rows = occ.shape[0] // ns
         self.n_samples = samples.shape[0] // ns
+        sad = (_pad_rows(di.sa_direct, ns)
+               if di.sa_direct is not None else None)
+        self.n_sa = sad.shape[0] // ns if sad is not None else 0
         sh2 = NamedSharding(mesh, P("shard", None))
         sh1 = NamedSharding(mesh, P("shard"))
         rep = NamedSharding(mesh, P())
@@ -88,6 +91,7 @@ class ShardedIndex:
             self.rev_occ_blocks = put(rocc, sh2)
         else:
             self.rev_occ_blocks = None
+        self.sa_direct = put(sad, sh1) if sad is not None else None
 
     def _index_args(self):
         args = [self.occ_blocks, self.samples, self.C]
@@ -95,9 +99,15 @@ class ShardedIndex:
         if self.rev_occ_blocks is not None:
             args += [self.rev_occ_blocks]
             specs += [P("shard", None)]
+        if self.sa_direct is not None:
+            args += [self.sa_direct]
+            specs += [P("shard")]
         return args, specs
 
-    def _local_idx(self, occ, samples, C, rev_occ=None):
+    def _local_idx(self, occ, samples, C, *rest):
+        rest = list(rest)
+        rev_occ = rest.pop(0) if self.rev_occ_blocks is not None else None
+        sad = rest.pop(0) if self.sa_direct is not None else None
         s = lax.axis_index("shard").astype(jnp.int32)
         return SimpleNamespace(
             n=self.meta["n"], primary=self.meta["primary"],
@@ -105,10 +115,12 @@ class ShardedIndex:
             occ_blocks=occ, samples=samples,
             rev_occ_blocks=rev_occ,
             rev_primary=self.meta["rev_primary"],
+            sa_direct=sad,
             shard_axis="shard",
             row_offset=s * self.occ_rows,
             rev_row_offset=s * self.occ_rows,
-            sample_offset=s * self.n_samples)
+            sample_offset=s * self.n_samples,
+            sa_offset=s * self.n_sa)
 
     # -- jitted entry points ------------------------------------------------
     def exact_fn(self):

@@ -68,6 +68,10 @@ class DeviceIndex:
     # only exact search is needed
     rev_primary: int = -1
     rev_occ_blocks: np.ndarray | None = None
+    # full suffix array (4B/base): locate becomes ONE gather instead of an
+    # sa_intv-step LF walk.  Built when the memory budget allows
+    # (build_device_index sa_direct flag); None for genome-scale indexes.
+    sa_direct: np.ndarray | None = None
 
     def as_jax(self):
         import jax.numpy as jnp
@@ -81,6 +85,8 @@ class DeviceIndex:
             rev_primary=np.uint32(self.rev_primary & 0xFFFFFFFF),
             rev_occ_blocks=(jnp.asarray(self.rev_occ_blocks)
                             if self.rev_occ_blocks is not None else None),
+            sa_direct=(jnp.asarray(self.sa_direct)
+                       if self.sa_direct is not None else None),
         )
 
     def save(self, path: str):
@@ -96,7 +102,9 @@ class DeviceIndex:
             C=self.C, occ_blocks=self.occ_blocks,
             samples=self.samples, rev_primary=self.rev_primary,
             rev_occ_blocks=(self.rev_occ_blocks if self.rev_occ_blocks is not None
-                            else empty))
+                            else empty),
+            sa_direct=(self.sa_direct if self.sa_direct is not None
+                       else np.zeros(0, np.uint32)))
 
     @classmethod
     def load(cls, path: str) -> "DeviceIndex":
@@ -106,11 +114,13 @@ class DeviceIndex:
                              f"hsa-tpu index (layout_version {LAYOUT_VERSION} "
                              f"expected)")
         rev = z["rev_occ_blocks"]
+        sad = z["sa_direct"] if "sa_direct" in z else np.zeros(0, np.uint32)
         return cls(n=int(z["n"]), primary=int(z["primary"]),
                    sa_intv=int(z["sa_intv"]), C=z["C"],
                    occ_blocks=z["occ_blocks"],
                    samples=z["samples"], rev_primary=int(z["rev_primary"]),
-                   rev_occ_blocks=rev if rev.size else None)
+                   rev_occ_blocks=rev if rev.size else None,
+                   sa_direct=sad if sad.size else None)
 
 
 def _pack_rows(bwt: np.ndarray, primary: int, marks: np.ndarray | None,
@@ -151,17 +161,26 @@ def _pack_rows(bwt: np.ndarray, primary: int, marks: np.ndarray | None,
     return rows
 
 
+SA_DIRECT_MAX_N = 512_000_000   # 4B/base full-SA budget (2 GB)
+
+
 def build_device_index(text: np.ndarray, sa_intv: int = 32,
-                       with_reverse: bool = True) -> DeviceIndex:
+                       with_reverse: bool = True,
+                       sa_direct: bool | None = None) -> DeviceIndex:
     """Full index build: native SA-IS (refpack) -> fused device layout.
 
     ``text``: int8/uint8 codes 0..3 (ambiguity-substituted).
+    ``sa_direct``: also keep the full suffix array (4B/base — locate
+    becomes one gather); default: yes for genomes <= SA_DIRECT_MAX_N.
     """
     from .. import refpack
 
     t = np.ascontiguousarray(text, dtype=np.uint8)
     n = len(t)
-    _, bwt, primary, marks, samples = refpack.build(t, sa_intv=sa_intv)
+    if sa_direct is None:
+        sa_direct = n <= SA_DIRECT_MAX_N
+    sa, bwt, primary, marks, samples = refpack.build(t, sa_intv=sa_intv,
+                                                     want_sa=sa_direct)
     counts = np.bincount(t, minlength=4).astype(np.uint64)
     C = np.concatenate([[1], 1 + np.cumsum(counts)]).astype(np.uint32)
     occ = _pack_rows(bwt, primary, marks, n)
@@ -172,4 +191,5 @@ def build_device_index(text: np.ndarray, sa_intv: int = 32,
     return DeviceIndex(n=n, primary=primary, sa_intv=sa_intv, C=C,
                        occ_blocks=occ,
                        samples=samples.astype(np.uint32),
-                       rev_primary=rev_primary, rev_occ_blocks=rev_occ)
+                       rev_primary=rev_primary, rev_occ_blocks=rev_occ,
+                       sa_direct=(sa.astype(np.uint32) if sa_direct else None))

@@ -160,14 +160,26 @@ class Aligner:
     def pigeon_occurrences(self, reads, n_seg):
         """Pigeon search of reads (both strands): (occs[B], fallback[B])."""
         from .search import pigeon as pg
-        rc = [alphabet.revcomp(r) for r in reads]
-        both = list(reads) + rc
+        B = len(reads)
+        Lmax = max(len(r) for r in reads)
+        Rf = np.full((B, Lmax), 5, np.uint8)
+        lens = np.zeros(B, np.int32)
+        for j, r in enumerate(reads):
+            Rf[j, :len(r)] = np.asarray(r, np.uint8)
+            lens[j] = len(r)
+        # vectorized reverse-complement lanes (comp of 0..3; N/PAD carried)
+        t = np.arange(Lmax)[None, :]
+        cols = np.clip(lens[:, None] - 1 - t, 0, max(Lmax - 1, 0))
+        Rr = np.take_along_axis(Rf, cols, axis=1)
+        Rr = np.where(Rr <= 3, 3 - Rr, Rr).astype(np.uint8)
+        Rr = np.where(t < lens[:, None], Rr, 5).astype(np.uint8)
+        both = (np.vstack([Rf, Rr]), np.concatenate([lens, lens]))
         batch = pg.pack_pigeon_batch(both, n_seg=n_seg,
                                      seed_len=self.opt.seed_len,
                                      kmer_k=self._kmer_k)
-        md = np.array([self.opt.diff_budget(len(r)) for r in both], np.int32)
+        md = np.array([self.opt.diff_budget(int(L)) for L in both[1]], np.int32)
         res = self._pigeon_search_fn(n_seg)(batch, md)
-        return pg.pigeon_occurrences(res, len(reads), self.opt,
+        return pg.pigeon_occurrences(res, B, self.opt,
                                      self._PIGEON_CAND_CAP)
 
     # -- search ------------------------------------------------------------

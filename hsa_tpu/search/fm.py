@@ -276,9 +276,23 @@ def _sample_lookup(idx, mrank):
 
 
 def locate(idx, r):
-    """Text positions of ranks r[B] via the bounded LF-walk (<= sa_intv-1
-    steps).  One fused-row gather per step (mark + LF from the same row),
-    plus one sample gather per lane at its mark step."""
+    """Text positions of ranks r[B].
+
+    With a direct suffix array (``idx.sa_direct``, small-genome indexes)
+    this is ONE gather; otherwise the bounded LF-walk (<= sa_intv-1
+    steps, one fused-row gather per step — mark + LF from the same row —
+    plus one sample gather per lane at its mark step)."""
+    sad = getattr(idx, "sa_direct", None)
+    if sad is not None:
+        ax = getattr(idx, "shard_axis", None)
+        ri = r.astype(I32)
+        if ax is None:
+            return lax.optimization_barrier(jnp.take(sad, ri))
+        off = idx.sa_offset
+        local = ri - off
+        own = (local >= 0) & (local < sad.shape[0])
+        val = jnp.take(sad, jnp.clip(local, 0, sad.shape[0] - 1))
+        return lax.psum(val * own.astype(val.dtype), ax)
     B = r.shape[0]
     pos = jnp.zeros(B, dtype=U32)
     steps = jnp.zeros(B, dtype=U32)

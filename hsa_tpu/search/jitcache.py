@@ -16,26 +16,25 @@ from types import SimpleNamespace
 import jax
 
 _ARRAY_FIELDS = ("C", "occ_blocks", "samples")
-_REV_FIELDS = ("rev_occ_blocks",)
+_OPT_FIELDS = ("rev_occ_blocks", "sa_direct")
 
 
 def split_idx(idx):
     """(arrays tuple, meta dict) — arrays become jit arguments."""
     arrays = [getattr(idx, f) for f in _ARRAY_FIELDS]
-    has_rev = getattr(idx, "rev_occ_blocks", None) is not None
-    if has_rev:
-        arrays += [getattr(idx, f) for f in _REV_FIELDS]
+    present = tuple(f for f in _OPT_FIELDS
+                    if getattr(idx, f, None) is not None)
+    arrays += [getattr(idx, f) for f in present]
     meta = dict(n=idx.n, primary=idx.primary, sa_intv=idx.sa_intv,
-                rev_primary=getattr(idx, "rev_primary", None), has_rev=has_rev)
+                rev_primary=getattr(idx, "rev_primary", None),
+                present=present)
     return tuple(arrays), meta
 
 
 def join_idx(meta, arrays):
     ns = dict(zip(_ARRAY_FIELDS, arrays[:len(_ARRAY_FIELDS)]))
-    if meta["has_rev"]:
-        ns.update(zip(_REV_FIELDS, arrays[len(_ARRAY_FIELDS):]))
-    else:
-        ns.update({f: None for f in _REV_FIELDS})
+    ns.update({f: None for f in _OPT_FIELDS})
+    ns.update(zip(meta["present"], arrays[len(_ARRAY_FIELDS):]))
     return SimpleNamespace(n=meta["n"], primary=meta["primary"],
                            sa_intv=meta["sa_intv"],
                            rev_primary=meta["rev_primary"], **ns)

@@ -116,68 +116,95 @@ def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
       seedmask uint32[B, RW]       PAT-patterned pair bits in the 3' seed
       lens     int32[B]
     """
-    B = len(reads)
     K = kmer_k
-    Lmax = max_len or max((len(r) for r in reads), default=1)
+    if isinstance(reads, tuple):
+        B = len(reads[1])
+        Lmax = max_len or (int(np.max(reads[1])) if B else 1)
+    else:
+        B = len(reads)
+        Lmax = max_len or max((len(r) for r in reads), default=1)
+    Lmax = max(Lmax, 1)
     if Lmax > MAX_READ_LEN:
         raise ValueError(f"pigeon engine handles reads <= {MAX_READ_LEN}bp "
                          f"(got {Lmax}); route longer reads to the beam")
     seg_max = (Lmax + n_seg - 1) // n_seg + 1
     SL = max(min(seg_max - K, anchor_tail) if K else seg_max, 1)
     RW = (Lmax + 15) // 16 + 1
-    segs_rev = np.full((n_seg * B, SL), PAD, dtype=np.uint8)
-    seg_lens = np.zeros(n_seg * B, dtype=np.int32)
-    seg_off = np.zeros(n_seg * B, dtype=np.int32)
-    kmer = np.zeros(n_seg * B, dtype=np.int32)
-    kmer_ok = np.zeros(n_seg * B, dtype=np.uint8)
-    seg_short = np.zeros(n_seg * B, dtype=np.uint8)
-    rw = np.zeros((B, RW), dtype=np.uint32)
-    nmask = np.zeros((B, RW), dtype=np.uint32)
-    vmask = np.zeros((B, RW), dtype=np.uint32)
-    seedmask = np.zeros((B, RW), dtype=np.uint32)
-    lens = np.zeros(B, dtype=np.int32)
-    pw = (4 ** np.arange(K - 1, -1, -1, dtype=np.int64)) if K else None
-    for j, r in enumerate(reads):
-        r = np.asarray(r, dtype=np.uint8)
-        L = len(r)
-        lens[j] = L
-        bounds = [L * s // n_seg for s in range(n_seg + 1)]
-        for s in range(n_seg):
-            a, b = bounds[s], bounds[s + 1]
-            if b <= a:
-                continue
-            lane = s * B + j
-            seg = r[a:b][::-1]          # consumption order
-            seg_off[lane] = a
-            if K == 0:
-                segs_rev[lane, :b - a] = seg
-                seg_lens[lane] = b - a
-            elif b - a < K:
-                seg_short[lane] = 1
-            else:
-                A = min(b - a, K + anchor_tail)   # anchor = segment suffix
-                head = seg[:K]
-                if (head <= 3).all():
-                    kmer[lane] = int((head.astype(np.int64) * pw).sum())
-                    kmer_ok[lane] = 1
-                    segs_rev[lane, :A - K] = seg[K:A]
-                    seg_lens[lane] = A - K
-                    seg_off[lane] = a + (b - a) - A  # anchor offset in read
-                # N inside the seeded prefix: segment is exactly-unmatchable
-                # (an exact segment cannot contain N) — lane stays dead
-        codes = r.astype(np.uint32)
-        isn = codes > 3
-        codes = np.where(isn, 0, codes)
-        t = np.arange(L)
-        np.add.at(rw[j], t // 16, codes << (2 * (t % 16)).astype(np.uint32))
-        pair = np.uint32(1) << (2 * (t % 16)).astype(np.uint32)
-        np.add.at(vmask[j], t // 16, pair)
-        if isn.any():
-            np.add.at(nmask[j], t[isn] // 16, pair[isn])
-        seed = t >= max(L - seed_len, 0)
-        np.add.at(seedmask[j], t[seed] // 16, pair[seed])
-    return dict(segs_rev=segs_rev, seg_lens=seg_lens, seg_off=seg_off,
-                kmer=kmer, kmer_ok=kmer_ok, seg_short=seg_short,
+
+    # read matrix (PAD-padded) — everything below is matrix-wise numpy
+    R = np.full((B, RW * 16), PAD, dtype=np.uint8)
+    if isinstance(reads, tuple):
+        R0, lens = reads            # prepacked [B, >=Lmax] matrix + lens
+        R[:, :R0.shape[1]] = R0[:, :RW * 16]
+        lens = np.asarray(lens, np.int32)
+    else:
+        lens = np.zeros(B, dtype=np.int32)
+        for j, r in enumerate(reads):
+            L = len(r)
+            R[j, :L] = np.asarray(r, dtype=np.uint8)
+            lens[j] = L
+    Lv = lens[:, None]
+
+    # -- per-segment anchors ------------------------------------------------
+    segs_rev = np.full((n_seg, B, SL), PAD, dtype=np.uint8)
+    seg_lens = np.zeros((n_seg, B), dtype=np.int32)
+    seg_off = np.zeros((n_seg, B), dtype=np.int32)
+    kmer = np.zeros((n_seg, B), dtype=np.int32)
+    kmer_ok = np.zeros((n_seg, B), dtype=np.uint8)
+    seg_short = np.zeros((n_seg, B), dtype=np.uint8)
+    pw = (4 ** np.arange(K - 1, -1, -1, dtype=np.int64))[None, :] if K else None
+    for s in range(n_seg):
+        a = lens * s // n_seg
+        b = lens * (s + 1) // n_seg
+        w = b - a
+        if K == 0:
+            # full-segment anchor: reversed columns b-1-t
+            t = np.arange(SL)[None, :]
+            cols = np.clip(b[:, None] - 1 - t, 0, R.shape[1] - 1)
+            seg = np.take_along_axis(R, cols, axis=1)
+            valid_t = t < w[:, None]
+            segs_rev[s] = np.where(valid_t, seg, PAD)
+            seg_lens[s] = np.maximum(w, 0)
+            seg_off[s] = a
+        else:
+            A = np.minimum(w, K + anchor_tail)
+            t = np.arange(K + SL)[None, :]
+            cols = np.clip(b[:, None] - 1 - t, 0, R.shape[1] - 1)
+            seg = np.take_along_axis(R, cols, axis=1)   # [B, K+SL] reversed
+            long_enough = w >= K
+            head_ok = (seg[:, :K] <= 3).all(axis=1) & long_enough
+            kmer[s] = np.where(head_ok,
+                               (seg[:, :K].astype(np.int64) * pw).sum(axis=1),
+                               0).astype(np.int32)
+            kmer_ok[s] = head_ok.astype(np.uint8)
+            seg_short[s] = ((w > 0) & ~long_enough).astype(np.uint8)
+            tail_t = np.arange(SL)[None, :]
+            tail_valid = head_ok[:, None] & (tail_t < (A - K)[:, None])
+            segs_rev[s] = np.where(tail_valid, seg[:, K:K + SL], PAD)
+            seg_lens[s] = np.where(head_ok, A - K, 0)
+            seg_off[s] = np.where(head_ok, b - A, a)
+
+    # -- packed verify words ------------------------------------------------
+    t = np.arange(RW * 16)
+    codes = R[:, :RW * 16].astype(np.uint32)
+    isn = codes > 3
+    inlen = t[None, :] < Lv
+    codes = np.where(isn, 0, codes)
+    sh = (2 * (t % 16)).astype(np.uint32)[None, :]
+
+    def packbits(vals):
+        return (vals << sh).reshape(B, RW, 16).sum(axis=2, dtype=np.uint64) \
+                           .astype(np.uint32)
+
+    rw = packbits(np.where(inlen, codes, 0))
+    vmask = packbits(inlen.astype(np.uint32))
+    nmask = packbits((isn & inlen).astype(np.uint32))
+    seedmask = packbits((inlen & (t[None, :] >=
+                                  np.maximum(Lv - seed_len, 0))).astype(np.uint32))
+    return dict(segs_rev=segs_rev.reshape(n_seg * B, SL),
+                seg_lens=seg_lens.reshape(-1), seg_off=seg_off.reshape(-1),
+                kmer=kmer.reshape(-1), kmer_ok=kmer_ok.reshape(-1),
+                seg_short=seg_short.reshape(-1),
                 rw=rw, nmask=nmask, vmask=vmask, seedmask=seedmask, lens=lens)
 
 
