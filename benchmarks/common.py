@@ -26,6 +26,8 @@ def setup_jax(platform=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if platform:
         jax.config.update("jax_platforms", platform)
+    from hsa_tpu.pipeline import force_sync_mode
+    force_sync_mode()  # MUST precede any dispatch (docs/TPU_NOTES.md)
     return jax
 
 
@@ -65,13 +67,19 @@ def sample_reads(text, n_reads, read_len, n_mm=0, indel=False, seed=1):
 
 
 def timeit(fn, *args, iters=4):
-    out = fn(*args)
+    """Honest timing: a readback after EVERY call (block_until_ready lies
+    on this backend — docs/TPU_NOTES.md v2)."""
     import jax
-    jax.block_until_ready(out)
+
+    def rb(out):
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:2]
+
+    out = fn(*args)
+    rb(out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+        rb(out)
     return (time.time() - t0) / iters, out
 
 
