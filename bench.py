@@ -35,6 +35,7 @@ import time
 import numpy as np
 
 GENOME_MBP = int(os.environ.get("HSA_BENCH_GENOME_MBP", "64"))
+GENOME_MODEL = os.environ.get("HSA_BENCH_GENOME_MODEL", "iid")
 SA_INTV = int(os.environ.get("HSA_BENCH_SA_INTV", "8"))
 BATCH = int(os.environ.get("HSA_BENCH_BATCH", "32768"))
 READ_LEN = 100
@@ -54,15 +55,19 @@ def get_index():
     from hsa_tpu.index.layout import DeviceIndex, build_device_index
 
     os.makedirs(CACHE, exist_ok=True)
-    idx_path = os.path.join(CACHE, f"idx_{GENOME_MBP}M_v4b_s{SA_INTV}.npz")
-    txt_path = os.path.join(CACHE, f"txt_{GENOME_MBP}M.npy")
+    tag = "" if GENOME_MODEL == "iid" else f"_{GENOME_MODEL}"
+    idx_path = os.path.join(CACHE, f"idx_{GENOME_MBP}M{tag}_v4b_s{SA_INTV}.npz")
+    txt_path = os.path.join(CACHE, f"txt_{GENOME_MBP}M{tag}.npy")
     if os.path.exists(idx_path) and os.path.exists(txt_path):
         try:
             return DeviceIndex.load(idx_path), np.load(txt_path, mmap_mode="r")
         except ValueError:
             pass  # stale layout version: rebuild below
     n = GENOME_MBP * 1_000_000
-    t = np.random.RandomState(7).randint(0, 4, n).astype(np.int8)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "benchmarks"))
+    from common import synth_genome
+    t = synth_genome(n, GENOME_MODEL)
     di = build_device_index(t, sa_intv=SA_INTV, with_reverse=True)
     di.save(idx_path)
     np.save(txt_path, t)
@@ -126,8 +131,11 @@ def main():
             ktab_f = jax.jit(lambda arrs: kmer_table(join_idx(meta_, arrs), KMER))
             tk, tl = ktab_f(arrays)
             np.savez(kt_path, tk=np.asarray(tk), tl=np.asarray(tl))
+        TAIL = int(os.environ.get("HSA_BENCH_TAIL", "0")) or \
+            pg.auto_anchor_tail(int(n), KMER)
         batch_np = pg.pack_pigeon_batch(list(fwd), n_seg=3,
-                                        seed_len=opt.seed_len, kmer_k=KMER)
+                                        seed_len=opt.seed_len, kmer_k=KMER,
+                                        anchor_tail=TAIL)
         pig_args = tuple(jnp.asarray(batch_np[k]) for k in
                          ("segs_rev", "seg_lens", "seg_off", "rw", "nmask",
                           "vmask", "seedmask", "lens"))
@@ -263,6 +271,7 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
         "genome_mbp": GENOME_MBP,
+        "genome_model": GENOME_MODEL,
         "batch": BATCH,
         "engine": ENGINE,
         "beam_width": BEAM_W,

@@ -31,6 +31,61 @@ def setup_jax(platform=None):
     return jax
 
 
+def synth_genome(n: int, model: str = "iid", seed: int = 7) -> np.ndarray:
+    """Synthetic genome (no network — BASELINE.md).
+
+    ``iid``: uniform random bases (round-1 stand-in: optimistic for beam
+    width, pessimistic for cache reuse).
+    ``repeats``: stresses multi-hit/overflow paths like real genomes do —
+    55% i.i.d. background, 30% dispersed repeat-family copies (Alu-like:
+    300bp consensus sequences re-inserted with 2-8% divergence), 10%
+    segmental duplications (10-50 kbp blocks copied with 1% divergence),
+    5% tandem repeats (2-6bp motifs, 50-500 copies).
+    """
+    rs = np.random.RandomState(seed)
+    if model == "iid":
+        return rs.randint(0, 4, n).astype(np.int8)
+    g = rs.randint(0, 4, n).astype(np.int8)
+
+    def mutate(seg, rate):
+        m = rs.rand(len(seg)) < rate
+        seg = seg.copy()
+        seg[m] = (seg[m] + rs.randint(1, 4, int(m.sum()))) % 4
+        return seg
+
+    # dispersed repeat families (the Alu-like bulk)
+    fam_bp = int(n * 0.30)
+    families = [rs.randint(0, 4, 300).astype(np.int8) for _ in range(8)]
+    placed = 0
+    while placed < fam_bp:
+        fam = families[rs.randint(len(families))]
+        p = rs.randint(0, n - 300)
+        g[p:p + 300] = mutate(fam, rs.uniform(0.02, 0.08))
+        placed += 300
+    # segmental duplications
+    dup_bp = int(n * 0.10)
+    placed = 0
+    while placed < dup_bp:
+        ln = int(rs.randint(10_000, 50_000))
+        if 2 * ln + 2 >= n:
+            ln = max(n // 4, 1)
+        src = rs.randint(0, n - ln)
+        dst = rs.randint(0, n - ln)
+        g[dst:dst + ln] = mutate(g[src:src + ln], 0.01)
+        placed += ln
+    # tandem repeats
+    tr_bp = int(n * 0.05)
+    placed = 0
+    while placed < tr_bp:
+        motif = rs.randint(0, 4, int(rs.randint(2, 7))).astype(np.int8)
+        copies = int(rs.randint(50, 500))
+        arr = np.tile(motif, copies)[:min(len(motif) * copies, n // 10)]
+        p = rs.randint(0, n - len(arr))
+        g[p:p + len(arr)] = arr
+        placed += len(arr)
+    return g
+
+
 def cached_index(name: str, n: int, seed: int = 7, sa_intv: int = 32,
                  with_reverse: bool = True):
     from hsa_tpu.index.layout import DeviceIndex, build_device_index

@@ -176,7 +176,9 @@ class Aligner:
         both = (np.vstack([Rf, Rr]), np.concatenate([lens, lens]))
         batch = pg.pack_pigeon_batch(both, n_seg=n_seg,
                                      seed_len=self.opt.seed_len,
-                                     kmer_k=self._kmer_k)
+                                     kmer_k=self._kmer_k,
+                                     anchor_tail=pg.auto_anchor_tail(
+                                         int(self.di.n), self._kmer_k))
         md = np.array([self.opt.diff_budget(int(L)) for L in both[1]], np.int32)
         res = self._pigeon_search_fn(n_seg)(batch, md)
         return pg.pigeon_occurrences(res, B, self.opt,

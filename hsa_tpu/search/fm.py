@@ -160,7 +160,10 @@ def occ_lt4(idx, p):
 
 
 def occ_lt4_flat(idx, p):
-    """Tuple of 4 flat [B] counts (same values as occ_lt4 columns)."""
+    """Tuple of 4 flat [B] counts (same values as occ_lt4 columns).
+
+    Sharded: ONE stacked psum for all four bases (coalesced per-step
+    merge — the collective count per beam step is O(1), not O(bases))."""
     rows, b, off, own = _row_decode(idx, p)
     ms = _word_masks(off)
     corr = _primary_corr(idx, b, off, rev=False)
@@ -171,8 +174,9 @@ def occ_lt4_flat(idx, p):
             tot = tot - corr
         if own is not None:
             tot = tot * own.astype(U32)
-        outs.append(_psum(idx, tot))
-    return tuple(outs)
+        outs.append(tot)
+    merged = _psum(idx, jnp.stack(outs, axis=0))
+    return tuple(merged[a] for a in range(4))
 
 
 def occ_lt(idx, a, p, *, rev: bool = False):
@@ -304,12 +308,10 @@ def locate(idx, r):
         bit, mrank = _mark_from_rows(rows, off)
         r_next = _lf_from_rows(idx, rows, b, off, r)
         if own is not None:
-            bit = bit * own.astype(U32)
-            mrank = mrank * own.astype(U32)
-            r_next = r_next * own.astype(U32)
-        bit = _psum(idx, bit)
-        mrank = _psum(idx, mrank)
-        r_next = _psum(idx, r_next)
+            o = own.astype(U32)
+            # one coalesced psum per walk step for all three fields
+            bit, mrank, r_next = _psum(
+                idx, jnp.stack([bit * o, mrank * o, r_next * o], axis=0))
         m = bit == U32(1)
         newly = m & ~done
         pos = jnp.where(newly, _sample_lookup(idx, mrank) + steps, pos)

@@ -84,6 +84,14 @@ def pack_text_rows(text: np.ndarray) -> np.ndarray:
     return (w << shifts).sum(axis=1, dtype=np.uint64).astype(np.uint32).reshape(nt, 8)
 
 
+def auto_anchor_tail(n: int, kmer_k: int, lo: int = 3, hi: int = 8) -> int:
+    """Anchor length so spurious candidates stay rare: 4^(K+tail) >= 64*n
+    (expected spurious occurrences per anchor <= 1/64)."""
+    import math
+    need = math.ceil(math.log(max(64 * n, 4), 4)) - kmer_k
+    return max(lo, min(hi, need))
+
+
 def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
                       seed_len: int = 32, kmer_k: int = 0,
                       anchor_tail: int = 6):
