@@ -128,8 +128,7 @@ def main():
             z = np.load(kt_path)
             tk, tl = jnp.asarray(z["tk"]), jnp.asarray(z["tl"])
         else:
-            ktab_f = jax.jit(lambda arrs: kmer_table(join_idx(meta_, arrs), KMER))
-            tk, tl = ktab_f(arrays)
+            tk, tl = kmer_table(dev, KMER)
             np.savez(kt_path, tk=np.asarray(tk), tl=np.asarray(tl))
         TAIL = int(os.environ.get("HSA_BENCH_TAIL", "0")) or \
             pg.auto_anchor_tail(int(n), KMER)

@@ -1,40 +1,79 @@
-"""BASELINE config 1: exact-match backward search, 100bp reads vs E. coli
-K-12 scale (4.6 Mbp), replicated FM-index, single chip."""
+"""BASELINE config 1: exact-match search, 100bp reads vs E. coli K-12
+scale (4.6 Mbp), replicated FM-index, single chip.
+
+Round 2: the workload routes through the pigeon engine with a single
+segment and budget 0 — one K-mer-seeded anchor, direct-SA locate, and a
+packed window verify (nmm must be 0) — the exact-match special case of
+the production path.  Set HSA_BENCH_C1_ENGINE=scan for the classic
+full-length backward scan (`search/exact.py`).
+"""
 
 import os
 import numpy as np
 from common import cached_index, report, sample_reads, setup_jax, timeit
 
 N = int(os.environ.get("HSA_BENCH_C1_MBP", "4600000"))
-B = int(os.environ.get("HSA_BENCH_BATCH", "16384"))
+B = int(os.environ.get("HSA_BENCH_BATCH", "32768"))
 L = 100
+ENGINE = os.environ.get("HSA_BENCH_C1_ENGINE", "pigeon")
 
 
 def main():
     jax = setup_jax()
     import jax.numpy as jnp
-    from hsa_tpu.search.exact import exact_search, locate_all
 
     di, text = cached_index("ecoli_4M6", N, with_reverse=False)
     dev = di.as_jax()
     fwd = sample_reads(text, B, L)
-    reads_rev = fwd[:, ::-1].copy()
     lens = np.full(B, L, np.int32)
-
     from hsa_tpu.search.jitcache import jit_over_idx
 
-    def _step(ix, rr, ln):
-        k, l, m = exact_search(ix, rr, ln)
-        pos, cnt = locate_all(ix, k, l, m, cap=1)
-        return k, l, m, pos
+    if ENGINE == "pigeon":
+        from hsa_tpu.search import pigeon as pg
+        from hsa_tpu.search.exact import kmer_table
+        from hsa_tpu.config import AlnOpt
+        K = 12
+        opt = AlnOpt(max_diff=0, max_gapo=0)
+        tk, tl = kmer_table(dev, K)
+        trows = jnp.asarray(pg.pack_text_rows(np.asarray(text)))
+        b = pg.pack_pigeon_batch((fwd, lens), n_seg=1, kmer_k=K,
+                                 anchor_tail=pg.auto_anchor_tail(N, K))
+        md = jnp.zeros(B, jnp.int32)
+        args = {k: jnp.asarray(v) for k, v in b.items()}
 
-    step = jit_over_idx(dev, _step)
+        def _step(ix, segs, slens, soff, rw, nm, vm, sm, plens, md, tk, tl,
+                  km, ko, ss):
+            return pg.pigeon_search(ix, trows, segs, slens, soff, rw, nm,
+                                    vm, sm, plens, md, opt, n_seg=1,
+                                    cand_cap=8,
+                                    kmer_seed=(tk, tl, km, ko, ss))
 
-    dt, (k, l, m, pos) = timeit(step, jnp.asarray(reads_rev), jnp.asarray(lens))
-    report("exact_reads_per_s", B / dt, "reads/s",
-           genome_mbp=N // 1_000_000, batch=B,
-           matched_frac=round(float(np.asarray(m).mean()), 4),
-           batch_ms=round(dt * 1e3, 1))
+        step = jit_over_idx(dev, _step)
+        dt, res = timeit(step, args["segs_rev"], args["seg_lens"],
+                         args["seg_off"], args["rw"], args["nmask"],
+                         args["vmask"], args["seedmask"], args["lens"],
+                         md, tk, tl, args["kmer"], args["kmer_ok"],
+                         args["seg_short"])
+        matched = float(np.asarray(res.valid).reshape(B, -1).any(axis=1).mean())
+        report("exact_reads_per_s", B / dt, "reads/s",
+               genome_mbp=N // 1_000_000, batch=B, engine="pigeon",
+               matched_frac=round(matched, 4), batch_ms=round(dt * 1e3, 1))
+    else:
+        from hsa_tpu.search.exact import exact_search, locate_all
+        reads_rev = fwd[:, ::-1].copy()
+
+        def _step(ix, rr, ln):
+            k, l, m = exact_search(ix, rr, ln)
+            pos, cnt = locate_all(ix, k, l, m, cap=1)
+            return k, l, m, pos
+
+        step = jit_over_idx(dev, _step)
+        dt, (k, l, m, pos) = timeit(step, jnp.asarray(reads_rev),
+                                    jnp.asarray(lens))
+        report("exact_reads_per_s", B / dt, "reads/s",
+               genome_mbp=N // 1_000_000, batch=B, engine="scan",
+               matched_frac=round(float(np.asarray(m).mean()), 4),
+               batch_ms=round(dt * 1e3, 1))
 
 
 if __name__ == "__main__":

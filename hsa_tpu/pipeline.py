@@ -109,13 +109,8 @@ class Aligner:
 
     def _kmer_tables(self):
         if not hasattr(self, "_ktabs"):
-            import jax
-            from .search.jitcache import split_idx, join_idx
             from .search.exact import kmer_table
-            arrays, meta = split_idx(self.dev)
-            K = self._kmer_k
-            f = jax.jit(lambda arrs: kmer_table(join_idx(meta, arrs), K))
-            self._ktabs = f(arrays)
+            self._ktabs = kmer_table(self.dev, self._kmer_k)
         return self._ktabs
 
     def _pigeon_search_fn(self, n_seg):

@@ -69,27 +69,48 @@ def exact_search(idx, reads_rev, lens, init=None):
     return k, l, alive & (k <= l)
 
 
-def kmer_table(idx, K: int):
-    """SA intervals of every K-mer: (tk, tl) uint32[4^K] — jittable BFS.
+def kmer_table(idx, K: int, chunk: int = 1 << 22):
+    """SA intervals of every K-mer: (tk, tl) uint32[4^K].
 
     Index convention matches backward-search consumption order: a pattern
     consumed as c_0, c_1, ... (rightmost character first) has index
     p = sum_t c_t * 4^(K-1-t); empty intervals are the self-propagating
     sentinel (1, 0).  Seeding a segment search with ``tk[p], tl[p]``
     replaces the first K scan steps with one table gather per end.
+
+    HOST-driven BFS (do NOT wrap in jit): one traced level inside a
+    single executable keeps every level's intermediates alive and OOMs
+    HBM at K=12 (measured: 17 GB).  Each level is its own dispatch and
+    the big final levels run in fixed-size chunks.
     """
-    k = jnp.zeros(1, U32)
-    l = jnp.full(1, idx.n, U32)
-    for level in range(K):
+    import jax
+    from .jitcache import split_idx, join_idx
+
+    arrays, meta = split_idx(idx)
+
+    @jax.jit
+    def level(arrs, k, l):
+        ix = join_idx(meta, arrs)
         ks = jnp.repeat(k, 4)
         ls = jnp.repeat(l, 4)
         # child base via iota, NOT tile(arange(4)): a tiled constant would
         # embed a 4^K-element literal in the HLO (slow remote compiles)
-        a = jnp.arange(4 ** (level + 1), dtype=U32) & U32(3)
-        k2, l2 = fm.extend(idx, a, ks, ls)
+        a = jnp.arange(ks.shape[0], dtype=U32) & U32(3)
+        k2, l2 = fm.extend(ix, a, ks, ls)
         empty = k2 > l2
-        k = jnp.where(empty, U32(1), k2)
-        l = jnp.where(empty, U32(0), l2)
+        return jnp.where(empty, U32(1), k2), jnp.where(empty, U32(0), l2)
+
+    k = jnp.zeros(1, U32)
+    l = jnp.full(1, jnp.uint32(idx.n), U32)
+    step_in = chunk // 4
+    for lev in range(K):
+        if k.shape[0] <= step_in:
+            k, l = level(arrays, k, l)
+        else:
+            outs = [level(arrays, k[i:i + step_in], l[i:i + step_in])
+                    for i in range(0, k.shape[0], step_in)]
+            k = jnp.concatenate([o[0] for o in outs])
+            l = jnp.concatenate([o[1] for o in outs])
     return k, l
 
 
