@@ -66,6 +66,7 @@ class Aligner:
                  ladder=None, engine: str = "auto"):
         if not os.path.isdir(index_dir) and os.path.isdir(index_dir + ".hsa"):
             index_dir = index_dir + ".hsa"
+        self.index_dir = index_dir
         self.opt = opt or AlnOpt()
         self.ladder = ladder
         self.engine = engine
@@ -109,8 +110,21 @@ class Aligner:
 
     def _kmer_tables(self):
         if not hasattr(self, "_ktabs"):
+            import jax.numpy as jnp
             from .search.exact import kmer_table
-            self._ktabs = kmer_table(self.dev, self._kmer_k)
+            path = (os.path.join(self.index_dir, f"kmer{self._kmer_k}.npz")
+                    if self.index_dir else None)
+            if path and os.path.exists(path):
+                z = np.load(path)
+                self._ktabs = (jnp.asarray(z["tk"]), jnp.asarray(z["tl"]))
+            else:
+                self._ktabs = kmer_table(self.dev, self._kmer_k)
+                if path:
+                    try:
+                        np.savez(path, tk=np.asarray(self._ktabs[0]),
+                                 tl=np.asarray(self._ktabs[1]))
+                    except OSError:
+                        pass  # read-only index dir: rebuild next session
         return self._ktabs
 
     def _pigeon_search_fn(self, n_seg):
