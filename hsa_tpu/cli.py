@@ -105,20 +105,32 @@ def cmd_aln(argv):
     p.add_argument("prefix")
     p.add_argument("reads")
     p.add_argument("-f", "--out", required=True, help="output .sai.npz")
+    p.add_argument("--metrics", default=None, help="write run metrics JSON here")
     _add_search_opts(p)
     a = p.parse_args(argv)
     from .pipeline import Aligner
-    al = Aligner(a.prefix, _opt_from_args(a))
+    from .metrics import RunMetrics
+    met = RunMetrics()
+    met.config = dict(cmd="aln", reads=a.reads, batch=a.batch,
+                      beam_width=a.beam_width, ladder=a.ladder,
+                      opt=_opt_from_args(a).to_dict())
+    ladder = tuple(int(x) for x in a.ladder.split(",")) if a.ladder else None
+    with met.timer("index_load"):
+        al = Aligner(a.prefix, _opt_from_args(a), ladder=ladder,
+                     engine="beam")  # .sai carries (k,l) intervals: beam path
     names, reads, quals = _load_reads(a.reads)
+    reads, quals = _apply_trim(reads, quals, getattr(a, "trim_qual", 0))
     flat = dict(score=[], nmm=[], ngapo=[], ngape=[], k=[], l=[])
     counts_f, counts_r = [], []
-    # two-phase: search all batches device-side, then one readback pass
-    handles = []
+    # streaming: search + readback per batch (honest timing model —
+    # docs/TPU_NOTES.md v2; the round-1 no-readback phase split is gone)
     for s, bn, br, bq in _iter_batches(names, reads, quals, a.batch):
-        handles.append((s, len(br), al.search_batch_device(br, beam_width=a.beam_width)))
-        print(f"[hsa-tpu aln] search {s + len(br)}/{len(reads)}", file=sys.stderr)
-    for s, nb, h in handles:
-        hf, hr = al.hits_from_device(h)
+        with met.timer("search"):
+            hf, hr = al.search_batch(br, beam_width=a.beam_width,
+                                     ladder=ladder)
+        ld, hd = al.last_overflow
+        met.count("beam_overflow_reads", int((np.asarray(ld) > 0).sum()))
+        met.count("reads_in", len(br))
         for hits_side, counts in ((hf, counts_f), (hr, counts_r)):
             for hits in hits_side:
                 counts.append(len(hits))
@@ -126,11 +138,12 @@ def cmd_aln(argv):
                     flat["score"].append(hh.score); flat["nmm"].append(hh.nmm)
                     flat["ngapo"].append(hh.ngapo); flat["ngape"].append(hh.ngape)
                     flat["k"].append(hh.k); flat["l"].append(hh.l)
-        print(f"[hsa-tpu aln] {s + nb}/{len(reads)} reads", file=sys.stderr)
+        met.log(f"aln {s + len(br)}/{len(reads)} reads")
     np.savez_compressed(a.out, counts_f=np.asarray(counts_f, np.int32),
                         counts_r=np.asarray(counts_r, np.int32),
                         batch=np.int64(a.batch),
                         **{k: np.asarray(v, np.int64) for k, v in flat.items()})
+    met.dump(a.metrics)
 
 
 def _sai_to_hits(path, n_reads):
