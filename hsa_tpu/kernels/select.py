@@ -1,13 +1,15 @@
 """Pallas top-K selection kernels for the beam engine.
 
-Why Pallas: on the target XLA/TPU backend, EVERY cross-row combination
-primitive placed inside a ``lax.scan`` — ``lax.sort``, ``lax.top_k``,
-axis reductions, even unrolled pairwise min-trees — triggers a slow
-scalar lowering AND permanently degrades the whole process (~1.4 ms per
-dispatch thereafter; docs/TPU_NOTES.md).  Mosaic-compiled kernels are
-exempt: in-kernel sublane reductions vectorize normally and leave the
-process clean (measured: a 20-step scan with in-kernel selection runs
-in ~0.1 ms where the XLA-sort variant takes 80 ms and poisons).
+Why Pallas: on the target XLA/TPU backend, cross-row combination
+primitives placed inside a ``lax.scan`` — ``lax.sort``, ``lax.top_k``,
+axis reductions, even unrolled pairwise min-trees — trigger a slow
+scalar lowering (measured round 1: a 20-step scan with in-kernel Pallas
+selection runs in ~0.1 ms where the XLA-sort variant takes 80 ms).
+Mosaic-compiled kernels vectorize sublane reductions normally.  NOTE:
+round 1 also attributed a *persistent* process-wide slowdown to these
+primitives; the round-2 re-baseline could not reproduce that
+persistence (docs/TPU_NOTES.md v2 — legacy rules, unverified).  The
+Pallas path is kept for the reproducible per-dispatch win.
 
 Layout contract: candidate matrices are **row-major [C, B]** — candidate
 slots on the (sublane) row axis, reads on the lane axis.  Keys embed
@@ -43,9 +45,9 @@ _SENT_I = np.int32(0x7FFF0000)
 def _build_select(C: int, B: int, K: int, n_pay: int, with_window: bool,
                   with_accum: bool, interpret: bool, lanes: int):
     """okey output carries K selected keys plus a final row holding the
-    accumulated drop counter — consuming a dedicated (1, lanes) counter
-    output poisons the process (docs/TPU_NOTES.md), a row of the main
-    output does not."""
+    accumulated drop counter — a dedicated (1, lanes) counter output
+    triggered the round-1 slow mode, a row of the main output did not
+    (docs/TPU_NOTES.md v2 legacy rule, unverified; kept as cheap)."""
     grid = (B // lanes,)
 
     def kern(*refs):
@@ -128,8 +130,9 @@ def select_topk(key, payloads, K: int, window=None, drop_accum=None, *,
               carry XLA-side re-triggers the degraded mode)
     Returns (okeyd [K+1,B] uint32 — rows 0..K-1 selected keys, row K the
     drop counter —, payload outs tuple [K,B], ndrop [1,B] view of row K).
-    Callers consuming the counter should read okeyd[K] (consuming a
-    dedicated (1, lanes) counter output poisons the process).
+    Callers consuming the counter should read okeyd[K] (a dedicated
+    (1, lanes) counter output triggered the round-1 slow mode;
+    docs/TPU_NOTES.md v2 legacy rule, unverified).
     """
     C, B = key.shape
     import os

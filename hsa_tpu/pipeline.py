@@ -88,6 +88,13 @@ class Aligner:
     _PIGEON_MIN_SEG = 12
 
     def _pigeon_eligible(self, reads):
+        """Batch-level gate: n_seg when every read fits the pigeon shape.
+
+        The engine covers reads <= MAX_READ_LEN with one-run gap budgets
+        (``max_gapo <= 1``; multi-run gaps are outside the pigeonhole
+        screen and route to the beam).  See :meth:`_pigeon_split` for the
+        per-read router that peels off only the ineligible reads.
+        """
         if self.engine == "beam" or not len(reads):
             return None
         from .search.pigeon import MAX_READ_LEN
@@ -96,10 +103,12 @@ class Aligner:
         md_max = max(self.opt.diff_budget(L) for L in set(lens))
         n_seg = md_max + 1
         ok = (Lmax <= MAX_READ_LEN
+              and self.opt.max_gapo <= 1
               and min(lens) // n_seg >= self._PIGEON_MIN_SEG)
         if self.engine == "pigeon" and not ok:
             raise ValueError("batch not eligible for the pigeon engine "
-                             f"(Lmax={Lmax}, md_max={md_max})")
+                             f"(Lmax={Lmax}, md_max={md_max}, "
+                             f"max_gapo={self.opt.max_gapo})")
         return n_seg if ok else None
 
     @property
@@ -146,10 +155,11 @@ class Aligner:
             def core(arrs, trows, segs_rev, seg_lens, seg_off, rw, nmask,
                      vmask, seedmask, lens, md, *seed):
                 idx = join_idx(meta, arrs)
+                B2 = lens.shape[0]
                 return pg.pigeon_search(idx, trows, segs_rev, seg_lens,
                                         seg_off, rw, nmask, vmask, seedmask,
                                         lens, md, opt, n_seg=n_seg,
-                                        cand_cap=CC,
+                                        cand_cap=CC, gpool=2 * B2,
                                         kmer_seed=seed if seed else None)
 
             def f(b, md):
@@ -166,8 +176,8 @@ class Aligner:
             self._pigeon_jit[key] = f
         return f
 
-    def pigeon_occurrences(self, reads, n_seg):
-        """Pigeon search of reads (both strands): (occs[B], fallback[B])."""
+    def _pigeon_raw(self, reads, n_seg):
+        """Pack both strands, run the device pigeon search -> PigeonResult."""
         from .search import pigeon as pg
         B = len(reads)
         Lmax = max(len(r) for r in reads)
@@ -189,38 +199,74 @@ class Aligner:
                                      anchor_tail=pg.auto_anchor_tail(
                                          int(self.di.n), self._kmer_k))
         md = np.array([self.opt.diff_budget(int(L)) for L in both[1]], np.int32)
-        res = self._pigeon_search_fn(n_seg)(batch, md)
-        return pg.pigeon_occurrences(res, B, self.opt,
+        return self._pigeon_search_fn(n_seg)(batch, md)
+
+    def pigeon_occurrences(self, reads, n_seg):
+        """Pigeon search of reads (both strands): (occs[B], fallback[B])."""
+        from .search import pigeon as pg
+        res = self._pigeon_raw(reads, n_seg)
+        return pg.pigeon_occurrences(res, len(reads), self.opt,
                                      self._PIGEON_CAND_CAP)
+
+    def pigeon_occ_arrays(self, reads, n_seg):
+        """Vectorized twin of :meth:`pigeon_occurrences`: (occ dict, fb)."""
+        from .search import pigeon as pg
+        res = self._pigeon_raw(reads, n_seg)
+        return pg.pigeon_occ_arrays(res, len(reads), self.opt,
+                                    self._PIGEON_CAND_CAP)
+
+    def _pigeon_split(self, reads):
+        """Per-read router: (n_seg, eligible read indices).
+
+        A read takes the pigeon path iff it fits the engine shape (length
+        <= MAX_READ_LEN, segments >= _PIGEON_MIN_SEG for its own diff
+        budget); the rest of the batch runs on the beam — one long read
+        no longer demotes the whole batch.
+        """
+        if self.engine == "beam" or not len(reads):
+            return None, []
+        from .search.pigeon import MAX_READ_LEN
+        if self.opt.max_gapo > 1:
+            if self.engine == "pigeon":
+                raise ValueError("pigeon engine requires max_gapo <= 1 "
+                                 f"(got {self.opt.max_gapo})")
+            return None, []
+        lens = [len(r) for r in reads]
+        budg = {L: self.opt.diff_budget(L) for L in set(lens)}
+        elig = [i for i, L in enumerate(lens)
+                if L <= MAX_READ_LEN
+                and L // (budg[L] + 1) >= self._PIGEON_MIN_SEG]
+        if self.engine == "pigeon" and len(elig) < len(reads):
+            raise ValueError("batch contains pigeon-ineligible reads "
+                             "(engine='pigeon' forces the fast path)")
+        if not elig:
+            return None, []
+        n_seg = max(budg[lens[i]] for i in elig) + 1
+        return n_seg, elig
 
     # -- search ------------------------------------------------------------
     def search_batch_device(self, reads, beam_width=None, max_hits=32,
                             ladder=None):
         """Phase A: both-strand beam search, results LEFT ON DEVICE.
 
-        Returns an opaque handle for :meth:`hits_from_device`.  Performs no
-        device->host transfer — a single readback permanently degrades the
-        process on the target backend (docs/TPU_NOTES.md), so production
-        flows run phase A for many batches before the first readback.
+        Returns an opaque handle for :meth:`hits_from_device`.  Keeping
+        phase A/B split lets callers batch several searches per readback;
+        per-batch readbacks are cheap in sync mode (docs/TPU_NOTES.md v2:
+        the round-1 "readback poisoning" model is disproven).
         """
         from .search.beam import pack_read_batch, search_device
-        from .search.prelocate import PositionCache
         rc = [alphabet.revcomp(r) for r in reads]
         fwd, lens = pack_read_batch(list(reads) + rc)
         res = search_device(self.dev, fwd, lens, self.opt,
                             beam_width=beam_width, max_hits=max_hits,
                             ladder=ladder or self.ladder)
-        # in sync mode, on-demand locates during resolution are cheap; the
-        # PositionCache stays empty and only forwards to the live locate_fn
-        cache = PositionCache()
-        return (res, len(reads), cache)
+        return (res, len(reads))
 
     def hits_from_device(self, handle):
         """Phase B: read a search handle back -> (hits_fwd, hits_rc)."""
         from .search.beam import result_to_hits
         from .search.adaptive import finalize_any
-        raw, B, cache = handle
-        self._last_cache = cache
+        raw, B = handle
         res = finalize_any(raw, self.opt.s_mm)
         hits_all = result_to_hits(res)
         self.last_overflow = (np.asarray(res.n_live_dropped),
@@ -257,50 +303,62 @@ class Aligner:
               beam_width=None, max_hits=32, sopt: SamseOpt | None = None):
         """reads: list of int8 code arrays -> list of AlnRecord.
 
-        Routes through the pigeon engine when eligible (engine="auto");
-        per-read fallbacks re-run on the beam ladder and the two hit
-        sources merge at resolution.
+        Per-read engine routing (engine="auto"): pigeon-eligible reads
+        take the seed-and-verify fast path; ineligible reads and pigeon
+        fallbacks re-run on the beam ladder, and the two hit sources
+        merge into one flat occurrence-array resolution pass.
         """
-        n_seg = self._pigeon_eligible(reads)
+        n_seg, elig = self._pigeon_split(reads)
         if n_seg is None:
             h = self.search_batch_device(reads, beam_width=beam_width,
                                          max_hits=max_hits)
             return self.resolve_handle(h, reads, names, quals,
                                        read_offset=read_offset, sopt=sopt)
-        from .resolve.samse import (collect_occurrences,
-                                    resolve_from_occurrences)
-        occs, fb = self.pigeon_occurrences(reads, n_seg)
-        truncated = [False] * len(reads)
-        fb_ids = [j for j in range(len(reads)) if fb[j]]
-        self.last_fallback_frac = len(fb_ids) / max(len(reads), 1)
-        ld = np.zeros(len(reads), np.int32)
-        hd = np.zeros(len(reads), np.int32)
+        from .resolve.samse import collect_occurrences, resolve_from_occ_arrays
+        from .search.pigeon import occ_lists_to_arrays
+        B = len(reads)
+        sub = [reads[i] for i in elig]
+        occ, fb = self.pigeon_occ_arrays(sub, n_seg)
+        emap = np.asarray(elig, np.int64)
+        occ["rid"] = emap[occ["rid"]]
+        inelig = sorted(set(range(B)) - set(elig))
+        fb_ids = sorted([elig[i] for i in np.nonzero(fb)[0]] + inelig)
+        self.last_fallback_frac = float(fb.mean()) if len(fb) else 0.0
+        self.last_ineligible_frac = len(inelig) / B
+        truncated = [False] * B
+        ld = np.zeros(B, np.int32)
+        hd = np.zeros(B, np.int32)
         if fb_ids:
-            sub = [reads[j] for j in fb_ids]
-            hf, hr = self.search_batch(sub, beam_width=beam_width,
+            bsub = [reads[j] for j in fb_ids]
+            hf, hr = self.search_batch(bsub, beam_width=beam_width,
                                        max_hits=max_hits, ladder=self.ladder)
             sub_occs, sub_trunc = collect_occurrences(hf, hr, self.locate_fn)
             sld, shd = self.last_overflow
-            half = len(sub)
+            half = len(bsub)
             for i, j in enumerate(fb_ids):
-                occs[j] = sub_occs[i]
                 truncated[j] = sub_trunc[i]
                 ld[j] = max(sld[i], sld[half + i] if len(sld) > half else 0)
                 hd[j] = max(shd[i], shd[half + i] if len(shd) > half else 0)
+            socc = occ_lists_to_arrays(sub_occs)
+            fmap = np.asarray(fb_ids, np.int64)
+            socc["rid"] = fmap[socc["rid"]] if socc["rid"].size else socc["rid"]
+            occ = {k: np.concatenate([occ[k], socc[k]]) for k in occ}
+            order = np.lexsort((occ["pos"], occ["strand"], occ["score"],
+                                occ["rid"]))
+            occ = {k: v[order] for k, v in occ.items()}
         self.last_overflow = (ld, hd)
         names = names or [f"read{read_offset + i}" for i in range(len(reads))]
-        return resolve_from_occurrences(self.text, self.meta, reads, names,
-                                        quals, occs, truncated, self.opt,
-                                        sopt, read_offset=read_offset)
+        return resolve_from_occ_arrays(self.text, self.meta, reads, names,
+                                       quals, occ, truncated, self.opt,
+                                       sopt, read_offset=read_offset)
 
     def resolve_handle(self, handle, reads, names=None, quals=None, *,
                        read_offset: int = 0, sopt: SamseOpt | None = None):
         """Phase B of the two-phase flow: handle -> list of AlnRecord."""
         names = names or [f"read{read_offset + i}" for i in range(len(reads))]
         hf, hr = self.hits_from_device(handle)
-        lf = handle[2].locate_fn(self.locate_fn)
         return resolve_batch_se(self.text, self.meta, reads, names, quals,
-                                hf, hr, lf, self.opt, sopt,
+                                hf, hr, self.locate_fn, self.opt, sopt,
                                 read_offset=read_offset)
 
     def align_pe(self, reads1, reads2, names=None, quals1=None, quals2=None, *,
@@ -314,24 +372,35 @@ class Aligner:
         names = names or [f"pair{read_offset + i}" for i in range(len(reads1))]
         B = len(reads1)
         all_reads = list(reads1) + list(reads2)
-        n_seg = self._pigeon_eligible(all_reads)
+        n_seg, elig = self._pigeon_split(all_reads)
         if n_seg is None:
             from .resolve.sampe import resolve_batch_pe
             h = self.search_batch_device(all_reads, beam_width=beam_width,
                                          max_hits=max_hits)
             hf, hr = self.hits_from_device(h)
-            lf = h[2].locate_fn(self.locate_fn)
             return resolve_batch_pe(self.text, self.meta, reads1, reads2,
                                     names, quals1, quals2,
-                                    (hf[:B], hr[:B]), (hf[B:], hr[B:]), lf,
-                                    self.opt, peopt, read_offset=read_offset)
+                                    (hf[:B], hr[:B]), (hf[B:], hr[B:]),
+                                    self.locate_fn, self.opt, peopt,
+                                    read_offset=read_offset)
         from .resolve.samse import collect_occurrences
         from .resolve.sampe import resolve_pe_from_occurrences
-        occs, fb = self.pigeon_occurrences(all_reads, n_seg)
-        occs1, occs2 = occs[:B], occs[B:]
+        eset = set(elig)
+        occs1 = [[] for _ in range(B)]
+        occs2 = [[] for _ in range(B)]
         trunc = [False] * 2 * B
-        fb_ids = [j for j in range(2 * B) if fb[j]]
-        self.last_fallback_frac = len(fb_ids) / max(2 * B, 1)
+        psub = [j for j in elig]
+        occs_p, fb = self.pigeon_occurrences([all_reads[j] for j in psub],
+                                             n_seg) if psub else ([], np.zeros(0, bool))
+        fb_set = set()
+        for i, j in enumerate(psub):
+            if fb[i]:
+                fb_set.add(j)
+            else:
+                (occs1 if j < B else occs2)[j % B] = occs_p[i]
+        fb_ids = sorted(fb_set | (set(range(2 * B)) - eset))
+        self.last_fallback_frac = (float(fb.mean()) if len(fb) else 0.0)
+        self.last_ineligible_frac = (2 * B - len(elig)) / (2 * B)
         if fb_ids:
             sub = [all_reads[j] for j in fb_ids]
             hf, hr = self.search_batch(sub, beam_width=beam_width,

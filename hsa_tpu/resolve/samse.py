@@ -240,6 +240,220 @@ def resolve_from_occurrences(text, meta, reads, names, quals, occs, truncated,
     return records
 
 
+_DECODE_LUT = np.frombuffer(b"ACGTNN", dtype=np.uint8).copy()
+
+
+def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
+                            opt: AlnOpt, sopt: SamseOpt | None = None,
+                            read_offset: int = 0):
+    """Vectorized resolution over flat occurrence arrays.
+
+    ``occ`` is the dict produced by
+    :func:`hsa_tpu.search.pigeon.pigeon_occ_arrays` (or the
+    ``occ_lists_to_arrays`` adapter): arrays ``rid, pos, strand, score,
+    nmm, ngapo, ngape`` deduped per (rid, strand, pos) and sorted by
+    (rid, score, strand, pos).  Record-equal to
+    :func:`resolve_from_occurrences` (the loop twin; tested equal); all
+    numeric work — span filter, window/c1/c2 counting, primary pick,
+    MAPQ, ungapped NM/mismatch extraction — is numpy-vectorized, and the
+    per-read Python that remains is string assembly only.
+    """
+    sopt = sopt or SamseOpt()
+    B = len(reads)
+    lens = np.fromiter((len(r) for r in reads), np.int64, B)
+    rid = np.asarray(occ["rid"], np.int64)
+    pos = np.asarray(occ["pos"], np.int64)
+    strand = np.asarray(occ["strand"], np.int8)
+    score = np.asarray(occ["score"], np.int64)
+    nmm = np.asarray(occ["nmm"], np.int64)
+    ngapo = np.asarray(occ["ngapo"], np.int64)
+    ngape = np.asarray(occ["ngape"], np.int64)
+
+    # span filter (the vector form of _span_possible)
+    if rid.size:
+        ngap = ngapo + ngape
+        Locc = lens[rid]
+        min_span = np.where(ngap == 0, Locc, np.maximum(Locc - ngap, 1))
+        si = np.searchsorted(meta.starts, pos, side="right") - 1
+        sis = np.clip(si, 0, len(meta.starts) - 1)
+        ok = (si >= 0) & (pos - meta.starts[sis] + min_span <= meta.lengths[sis])
+        if not ok.all():
+            rid, pos, strand, score, nmm, ngapo, ngape, ngap = (
+                a[ok] for a in (rid, pos, strand, score, nmm, ngapo,
+                                ngape, ngap))
+    else:
+        ngap = ngapo
+
+    # read/strand matrices + decoded strings (one pass, C-speed per row)
+    Lmax = max(int(lens.max()) if B else 1, 1)
+    rdmat = np.full((B, Lmax), 4, np.uint8)
+    for j, r in enumerate(reads):
+        rdmat[j, :lens[j]] = np.asarray(r, np.uint8)
+    t = np.arange(Lmax)
+    cols = np.clip(lens[:, None] - 1 - t[None, :], 0, Lmax - 1)
+    rcmat = np.take_along_axis(rdmat, cols, axis=1)
+    rcmat = np.where(rcmat <= 3, 3 - rcmat, rcmat).astype(np.uint8)
+    rcmat[t[None, :] >= lens[:, None]] = 4
+    fwd_chars = _DECODE_LUT[np.minimum(rdmat, 5)]
+    rc_chars = _DECODE_LUT[np.minimum(rcmat, 5)]
+
+    # groups (rid-sorted): per-read window stats + primary pick
+    grp_first = np.flatnonzero(np.r_[True, rid[1:] != rid[:-1]]) \
+        if rid.size else np.zeros(0, np.int64)
+    grp_rid = rid[grp_first] if rid.size else np.zeros(0, np.int64)
+    grp_cnt = np.diff(np.r_[grp_first, rid.size]) if rid.size else grp_first
+    gi_of = np.repeat(np.arange(grp_first.size), grp_cnt)
+    best = score[grp_first] if rid.size else grp_first
+    wmask = score <= best[gi_of] + opt.s_mm if rid.size else np.zeros(0, bool)
+    isbest = score == best[gi_of] if rid.size else wmask
+    if rid.size:
+        nbest = np.add.reduceat(isbest.astype(np.int64), grp_first)
+        nwin = np.add.reduceat(wmask.astype(np.int64), grp_first)
+    else:
+        nbest = nwin = np.zeros(0, np.int64)
+    c1 = np.minimum(nbest, 256)
+    c2 = np.minimum(nwin - nbest, 256)
+    k = (((read_offset + grp_rid).astype(np.uint64) * np.uint64(_HASH))
+         % np.uint64(1 << 32)) % np.maximum(nbest, 1).astype(np.uint64)
+    pick_idx = grp_first + k.astype(np.int64)
+
+    # per-read pick fields (index by read for assembly)
+    g_of_read = np.full(B, -1, np.int64)
+    g_of_read[grp_rid] = np.arange(grp_rid.size)
+    p_pos = pos[pick_idx] if rid.size else pick_idx
+    p_str = strand[pick_idx] if rid.size else pick_idx
+    p_nmm = nmm[pick_idx] if rid.size else pick_idx
+    p_go = ngapo[pick_idx] if rid.size else pick_idx
+    p_ge = ngape[pick_idx] if rid.size else pick_idx
+
+    # MAPQ (vector approx_mapq; c1 >= 1 for every mapped read)
+    budg = {int(L): opt.diff_budget(int(L)) for L in np.unique(lens)}
+    maxdiff = np.fromiter((budg[int(L)] for L in lens), np.int64, B)
+    n_c2 = np.minimum(c2, 255)
+    glog = np.where(n_c2 > 0,
+                    (4.343 * np.log(np.maximum(n_c2, 1)) + 0.5).astype(np.int64),
+                    0)
+    mq_g = grp_rid  # read ids of groups
+    mapq_grp = np.where(c1 > 1, 0,
+                        np.where(p_nmm == maxdiff[mq_g], 25,
+                                 np.where(c2 == 0, 37,
+                                          np.maximum(23 - glog, 0))))
+
+    # vectorized ungapped pick refinement: NM + mismatch positions
+    n_text = len(text)
+    ugp = np.flatnonzero((g_of_read >= 0) & (p_go[g_of_read] + p_ge[g_of_read]
+                                             == 0)) if rid.size else []
+    mm_rows: dict[int, np.ndarray] = {}
+    nm_of: dict[int, int] = {}
+    win_of: dict[int, np.ndarray] = {}
+    if len(ugp):
+        gidx = g_of_read[ugp]
+        wpos = p_pos[gidx]
+        widx = np.minimum(wpos[:, None] + t[None, :], n_text - 1)
+        win = np.asarray(text)[widx]
+        aln = np.where(p_str[gidx][:, None].astype(bool), rcmat[ugp],
+                       rdmat[ugp])
+        mm = ((aln != win) | (aln > 3)) & (t[None, :] < lens[ugp][:, None])
+        nms = mm.sum(axis=1)
+        rows, cs = np.nonzero(mm)
+        splits = np.searchsorted(rows, np.arange(len(ugp) + 1))
+        for i, j in enumerate(ugp):
+            mm_rows[j] = cs[splits[i]:splits[i + 1]]
+            nm_of[j] = int(nms[i])
+            win_of[j] = win[i]
+
+    # vectorized XN (ambiguity overlap) for ungapped picks
+    xn_of: dict[int, int] = {}
+    if len(ugp) and meta.amb_runs:
+        if not hasattr(meta, "_amb_starts"):
+            meta._amb_starts = np.asarray([r[0] for r in meta.amb_runs],
+                                          np.int64)
+            meta._amb_ends = meta._amb_starts + np.asarray(
+                [r[1] for r in meta.amb_runs], np.int64)
+        gidx = g_of_read[ugp]
+        lo = np.searchsorted(meta._amb_ends, p_pos[gidx], side="right")
+        hi = np.searchsorted(meta._amb_starts, p_pos[gidx] + lens[ugp],
+                             side="left")
+        for i, j in enumerate(ugp):
+            if hi[i] > lo[i]:
+                xn_of[j] = meta.count_amb(int(p_pos[gidx[i]]), int(lens[ugp[i]]))
+            else:
+                xn_of[j] = 0
+
+    # rname / 1-based offset per pick
+    if rid.size:
+        psi = np.searchsorted(meta.starts, p_pos, side="right") - 1
+        p_off1 = p_pos - meta.starts[np.clip(psi, 0, len(meta.starts) - 1)] + 1
+
+    records = []
+    md_lut = "ACGTN"
+    for j in range(B):
+        L = int(lens[j])
+        name = names[j]
+        qual = quals[j] if quals else "*"
+        gidx = int(g_of_read[j])
+        if gidx < 0:
+            seq_fwd = fwd_chars[j, :L].tobytes().decode()
+            records.append(AlnRecord(name, 4, "*", 0, 0, "*", seq_fwd, qual))
+            continue
+        st = int(p_str[gidx])
+        if st:
+            seq = rc_chars[j, :L].tobytes().decode()
+            q = qual[::-1] if qual and qual != "*" else qual
+            flag = 16
+        else:
+            seq = fwd_chars[j, :L].tobytes().decode()
+            q = qual
+            flag = 0
+        mapq = int(mapq_grp[gidx])
+        if j in nm_of:
+            # ungapped: "LM" CIGAR, MD from mismatch positions
+            parts = []
+            prev = 0
+            win = win_of[j]
+            for col in mm_rows[j]:
+                parts.append(str(int(col) - prev))
+                parts.append(md_lut[min(int(win[col]), 4)])
+                prev = int(col) + 1
+            parts.append(str(L - prev))
+            rname = meta.names[int(psi[gidx])]
+            rec = AlnRecord(name, flag, rname, int(p_off1[gidx]), mapq,
+                            f"{L}M", seq, q)
+            rec.tags.update(NM=nm_of[j], MD="".join(parts),
+                            XM=int(p_nmm[gidx]), XO=0, XG=0)
+            xn = xn_of.get(j, 0) if meta.amb_runs else 0
+            if xn:
+                rec.tags["XN"] = xn
+        else:
+            o = Occurrence(int(p_pos[gidx]), st, int(score[pick_idx[gidx]]),
+                           int(p_nmm[gidx]), int(p_go[gidx]), int(p_ge[gidx]))
+            rec = _make_record(text, meta, reads[j], name, qual, o, mapq, opt)
+        rec.tags["XT"] = "U" if c1[gidx] == 1 else "R"
+        rec.tags["X0"] = int(c1[gidx])
+        if not truncated[j]:
+            rec.tags["X1"] = int(c2[gidx])
+        # XA alternates
+        nw, nb = int(nwin[gidx]), int(nbest[gidx])
+        if 1 < nw <= sopt.n_multi + 1 or (c1[gidx] == 1
+                                          and 0 < c2[gidx] <= sopt.n_multi):
+            s0, s1 = int(grp_first[gidx]), int(grp_first[gidx] + grp_cnt[gidx])
+            parts = []
+            for oi in range(s0, s1):
+                if oi == pick_idx[gidx] or not wmask[oi]:
+                    continue
+                if len(parts) >= sopt.n_multi:
+                    break
+                o = Occurrence(int(pos[oi]), int(strand[oi]), int(score[oi]),
+                               int(nmm[oi]), int(ngapo[oi]), int(ngape[oi]))
+                arec = _make_record(text, meta, reads[j], name, qual, o, 0, opt)
+                parts.append(f"{arec.rname},{'-' if o.strand else '+'}"
+                             f"{arec.pos},{arec.cigar},{arec.tags['NM']}")
+            if parts:
+                rec.tags["XA"] = ";".join(parts) + ";"
+        records.append(rec)
+    return records
+
+
 def _make_record(text, meta, read, name, qual, o: Occurrence, mapq, opt: AlnOpt):
     L = len(read)
     if o.strand:

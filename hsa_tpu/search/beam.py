@@ -18,8 +18,10 @@ result of a measured failure mode of the target XLA/TPU backend):
   argument tables, flat [B*W] elementwise chains, [rows, B] (lane-major)
   elementwise chains, concatenation, and static slicing.  No sorts,
   top_k, axis reductions, scatters, 0xFFFFFFFF literals, or
-  small-minor-dim broadcast chains — each of those permanently degrades
-  the process.
+  small-minor-dim broadcast chains — round-1 rules that kept the scan on
+  the fast lowering (docs/TPU_NOTES.md v2 lists the *persistence* claims
+  as unverified legacy; the per-dispatch slowness was real and the
+  restrictions stay because they cost nothing).
 - All cross-row work (top-W selection, hit-buffer merge, drop counting,
   best-score tracking) happens in the Pallas kernels of
   :mod:`hsa_tpu.kernels.select`, which compile through Mosaic and are
@@ -286,9 +288,10 @@ def beam_search(idx, reads_fwd, lens, D, max_diff, opt, *,
         mm_ = jnp.concatenate([hm, mc[:HC]], axis=0)
         # Drop tracking: running MAX of per-step drop counts, updated with
         # the same where-select pattern as `best` — accumulating adds or
-        # dedicated counter outputs/carries re-poison the process
-        # (docs/TPU_NOTES.md).  >0 iff any step overflowed, which is the
-        # parity-alarm semantics every consumer relies on.
+        # dedicated counter carries triggered the round-1 slow mode
+        # (docs/TPU_NOTES.md v2 legacy rule).  >0 iff any step
+        # overflowed, which is the parity-alarm semantics every consumer
+        # relies on.
         okeyd, (hk2, hl2, hm2), _ = select_topk(mkey, (mk, ml, mm_), H)
         okey = okeyd[:H]
         hdrop_i = okeyd[H]
@@ -372,8 +375,9 @@ def search_device(idx, fwd, lens, opt, *, beam_width=None, max_hits=32,
     """Device-only search: packed batch -> BeamResult (device arrays).
 
     Performs NO device->host transfer — the caller decides when to read
-    results back (a single readback permanently degrades the process;
-    docs/TPU_NOTES.md).  ``fwd``/``lens`` are numpy or device arrays.
+    results back (per-batch readbacks are cheap in sync mode; the split
+    simply lets callers overlap several searches per readback).
+    ``fwd``/``lens`` are numpy or device arrays.
     """
     import numpy as np
     from .widths import cal_width_device

@@ -127,9 +127,9 @@ def locate_all(idx, k, l, matched, cap: int):
     valid = offs < take[:, None].astype(U32)
     ranks_flat = jnp.where(valid, ranks, U32(0)).reshape(-1)
     pos = fm.locate(idx, ranks_flat).reshape(ranks.shape)
-    # NO_POS sentinel = 0xFFFFFFFE: an all-ones literal in a device
-    # where-branch flips the backend into its degraded mode
-    # (docs/TPU_NOTES.md trigger 4); no genome position can reach this
-    # value either (uint32 text bound is 2^32-2).
+    # NO_POS sentinel = 0xFFFFFFFE: round 1 observed all-ones literals in
+    # device where-branches triggering the slow mode (docs/TPU_NOTES.md
+    # v2 legacy rule, unverified); 0xFFFFFFFE is equally unreachable as
+    # a genome position (uint32 text bound is 2^32-2) and costs nothing.
     pos = jnp.where(valid, pos, U32(0xFFFFFFFE))
     return pos, cnt_full

@@ -1,5 +1,5 @@
 """Pigeonhole seed-and-verify engine — the TPU-shaped fast path for
-mismatch-bounded short-read alignment.
+diff-bounded short-read alignment.
 
 The reference's branch-and-bound stack (lineage: ``bwtgap.c``) explores
 every ≤k-diff pattern of the read suffix; on wide SA intervals that
@@ -17,27 +17,38 @@ for the TPU cost model (docs/TPU_NOTES.md: row gathers are the currency,
    pool with ``jnp.nonzero`` so dead slots pay nothing downstream.
 3. **Locate**: walk each pooled candidate to a text position with the
    fused-row LF walk (1 gather/step, ≤ sa_intv steps).
-4. **Verify**: fetch the 2-bit packed text window around each candidate
-   (2 row gathers) and count mismatches with flat XOR/popcount lanes —
-   no gathers, pure VPU.
+4. **Verify (ungapped)**: fetch the 2-bit packed text window around each
+   candidate (NR row gathers, NR in {2, 3} by read length) and count
+   mismatches with flat XOR/popcount lanes — no gathers, pure VPU.
+5. **Verify (gapped)**: candidates of reads whose best ungapped score
+   could admit a gapped record (``best >= s_gapo - s_mm`` or no ungapped
+   hit) are compacted into a second pool and screened for every one-run
+   gap placement (the only gap shape ``max_gapo <= 1`` allows): for each
+   gap length g and side, the minimum-mismatch split point is found with
+   per-base prefix sums over the already-fetched window — again pure
+   VPU, no extra row gathers beyond the verify fetch.
 
-Per read this is ~10x fewer row gathers than the beam and has NO
-overflow failure mode: every capacity miss (repetitive segment,
-candidate-pool full) sets a per-read ``fallback`` flag and the caller
-re-runs those reads on the exhaustive beam ladder — the pigeonhole hit
-set is exact, never approximate.
+Per read this is ~10 row gathers end-to-end vs the beam's ~2,900, and
+has NO overflow failure mode: every capacity miss (repetitive segment,
+candidate-pool full, gapped-slot overflow) sets a per-read ``fallback``
+flag and the caller re-runs those reads on the exhaustive beam ladder —
+the pigeonhole hit set is exact, never approximate.
 
-Parity contract: for mismatch-only verification the enumerated
-occurrence set equals the oracle's (all ≤ md-mismatch alignments; the
-resolve layer applies the best+s_mm reporting window).  When gap budgets
-are enabled, gapped alignments can only affect the reported records if
-``s_gapo <= best_ungapped + s_mm`` or no ungapped hit exists — both
-conditions set ``fallback`` (the beam handles those reads), so records
-stay record-equal with the oracle.  Reads whose budget exceeds
-``n_seg - 1`` always fall back.
+Parity contract (vs ``hsa_tpu.oracle.bnb``): for ``max_gapo == 0`` the
+enumerated occurrence set equals the oracle's (all ≤ md-mismatch
+alignments).  For ``max_gapo == 1`` the one-run gap screen enumerates,
+per candidate position, the minimum-score feasible alignment for every
+distinct gapped start position (q-class), subject to the oracle's exact
+constraints — nmm + ngapo + ngape <= md, ngape <= max_gape, seed-diff
+cap, ``indel_end_skip`` — so after position-level dedup the record set
+matches the oracle's reporting window.  ``max_gapo >= 2`` is outside
+the engine's shape (multi-run gaps); callers must route those configs
+to the beam.  Reads whose budget exceeds ``n_seg - 1`` always fall
+back, as do candidates whose gapped q-classes overflow the per-
+candidate slot cap within the score window (GC_SLOTS; conservative).
 
-Shape limits: read length <= 112 (the two-row 256-base window must cover
-len + 15 alignment slack); longer reads are the caller's fallback.
+Shape limits: read length <= 160 (MAX_READ_LEN; window fetch is 2 rows
+for reads <= 112bp and 3 rows above).
 """
 
 from __future__ import annotations
@@ -56,29 +67,42 @@ U32 = jnp.uint32
 I32 = jnp.int32
 PAD = 5
 _PAT = 0x55555555
-MAX_READ_LEN = 112
+MAX_READ_LEN = 160
+GC_SLOTS = 4          # gapped q-class slots per pool-2 candidate
+_BIGNMM = 0x3FFF
+_BIGKEY = 0xFFFFFFFF
 
 
 class PigeonResult(NamedTuple):
-    """Device-side result.  Candidate matrices are flat [B*CC] read-major
-    (read j's slots at [j*CC, (j+1)*CC))."""
+    """Device-side result.  Ungapped candidate matrices are flat [B*CC]
+    read-major (read j's slots at [j*CC, (j+1)*CC)).  Gapped results are
+    pool-2 indexed: lane i (< n_gate) belongs to read-lane g_read[i] and
+    carries up to GC_SLOTS q-classes (g_key == _BIGKEY marks empties;
+    key packs score<<8 | gap_len<<4 | nmm)."""
     pos: jnp.ndarray        # uint32[B*CC] candidate start positions
     nmm: jnp.ndarray        # int32[B*CC] verified mismatch counts
     valid: jnp.ndarray      # bool[B*CC]
     fallback: jnp.ndarray   # bool[B]  read needs the exhaustive beam
     n_cand: jnp.ndarray     # int32[B] enumerated candidates (pre-dedup)
+    g_q: jnp.ndarray        # uint32[GPOOL, GC_SLOTS] gapped start positions
+    g_key: jnp.ndarray      # uint32[GPOOL, GC_SLOTS] packed score/g/nmm
+    g_read: jnp.ndarray     # int32[GPOOL] owning read lane
+    n_gate: jnp.ndarray     # int32[] live pool-2 lanes
 
 
 def pack_text_rows(text: np.ndarray) -> np.ndarray:
     """uint32[nt, 8] rows of 128 packed 2-bit bases (for window fetches).
 
-    One extra all-zero row pads the tail so ``row+1`` is always valid.
+    Row 0 is an all-zero LEAD row (text base b lives in row ``1 + b//128``)
+    so gapped verify windows that begin up to 128 bases before the text
+    never index negatively; four all-zero tail rows cover the widest
+    (3-row) fetch starting in the last data row.
     """
     t = np.asarray(text, dtype=np.uint8) & 3
     n = len(t)
-    nt = n // 128 + 2
+    nt = n // 128 + 5
     padded = np.zeros(nt * 128, dtype=np.uint32)
-    padded[:n] = t
+    padded[128:128 + n] = t
     w = padded.reshape(nt * 8, 16)
     shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
     return (w << shifts).sum(axis=1, dtype=np.uint64).astype(np.uint32).reshape(nt, 8)
@@ -90,6 +114,17 @@ def auto_anchor_tail(n: int, kmer_k: int, lo: int = 3, hi: int = 8) -> int:
     import math
     need = math.ceil(math.log(max(64 * n, 4), 4)) - kmer_k
     return max(lo, min(hi, need))
+
+
+def max_gap_run(opt, n_seg: int) -> int:
+    """Static max one-run gap length G for this (opt, n_seg) compile.
+
+    Non-fallback reads satisfy md <= n_seg - 1 and nmm + g <= md, so
+    g <= 1 + min(max_gape, n_seg - 2); 0 when gaps are disabled.
+    """
+    if opt.max_gapo <= 0 or n_seg < 2:
+        return 0
+    return 1 + min(opt.max_gape, n_seg - 2)
 
 
 def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
@@ -216,27 +251,48 @@ def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
                 rw=rw, nmask=nmask, vmask=vmask, seedmask=seedmask, lens=lens)
 
 
-def _select16(words, idx16):
-    """words: list of 16 [N] vectors; idx16: int32 [N] in [0, 15]."""
-    def sel(lo, hi, bit):
-        return [jnp.where((idx16 & bit) == 0, a, b) for a, b in zip(lo, hi)]
-    w = sel(words[:8], words[8:], 8)
-    w = sel(w[:4], w[4:], 4)
-    w = sel(w[:2], w[2:], 2)
-    w = sel(w[:1], w[1:], 1)
+def _selectn(words, idx):
+    """words: list of [N] vectors (len padded to a power of two with
+    zeros); idx: int32 [N] in [0, len(words))."""
+    w = list(words)
+    P = 1
+    while P < len(w):
+        P *= 2
+    if P > len(w):
+        w = w + [jnp.zeros_like(w[0])] * (P - len(w))
+    bit = P >> 1
+    while bit:
+        half = len(w) // 2
+        w = [jnp.where((idx & bit) == 0, a, b) for a, b in zip(w[:half], w[half:])]
+        bit >>= 1
     return w[0]
+
+
+def _expand_prefix(mm_words, DW):
+    """Pair-bit mismatch words [P, >=DW] -> exclusive per-base prefix sums.
+
+    Returns (P_[P, 16*DW] int32 with P_[:, t] = #mismatches at read
+    positions < t, total [P] int32)."""
+    shifts = (U32(2) * jnp.arange(16, dtype=U32))[None, None, :]
+    bits = ((mm_words[:, :DW, None] >> shifts) & U32(1)).astype(I32)
+    bits = bits.reshape(bits.shape[0], DW * 16)
+    cs = jnp.cumsum(bits, axis=1)
+    excl = cs - bits
+    return excl, cs[:, -1]
 
 
 def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
                   vmask, seedmask, lens, md, opt, *, n_seg: int = 3,
                   seg_cap: int = 32, cand_cap: int = 32,
-                  pool: int | None = None, kmer_seed=None) -> PigeonResult:
+                  pool: int | None = None, gpool: int | None = None,
+                  kmer_seed=None) -> PigeonResult:
     """Device pigeonhole search (see module docstring).  Traceable; all
     array arguments must reach the jit as parameters, not closures.
 
     md: int32[B] per-read diff budgets.  ``pool``: dense candidate-pool
-    capacity (default 4*B).  ``kmer_seed``: optional
-    (tk, tl, kmer, kmer_ok, seg_short) — K-mer-table seeding from
+    capacity (default 4*B); ``gpool``: gapped pool-2 capacity (default
+    pool // 4).  ``kmer_seed``: optional (tk, tl, kmer, kmer_ok,
+    seg_short) — K-mer-table seeding from
     :func:`hsa_tpu.search.exact.kmer_table` + ``pack_pigeon_batch``'s
     kmer fields; replaces the first K scan steps of every segment with
     one table gather per interval end.
@@ -246,7 +302,13 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
     B = lens.shape[0]
     CC = cand_cap
     RW = rw.shape[1]
+    DW = RW - 1                      # packed words carrying read data
     POOL = pool or 4 * B
+    GPOOL = gpool or max(POOL // 4, 8)
+    G = max_gap_run(opt, n_seg)      # static max one-run gap length
+    # rows per window fetch: select indices reach ws(<=7) + DW + 1
+    NR = (DW + 16) // 8
+    n = jnp.uint32(idx.n)
 
     # 1. anchor: lockstep exact search of all segments
     short_fb = jnp.zeros(B, bool)
@@ -306,7 +368,7 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
     pranks = jnp.take(ranks_f, cidx)          # clamped at fill; masked below
     psoff = jnp.take(soff_f, cidx)
     pread = jnp.minimum(cidx // CC, B - 1)
-    # ALL per-read verify data in ONE fat row gather (32 packed words +
+    # ALL per-read verify data in ONE fat row gather (4*RW packed words +
     # lens|md): per-word takes here measured ~35 ms/batch on their own
     combo = jnp.concatenate(
         [rw, vmask, nmask, seedmask,
@@ -317,34 +379,50 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
 
     # 4. locate pooled candidates (fused-row LF walk, 1 gather/step)
     ppos = fm.locate(idx, jnp.where(in_pool, pranks, U32(0)))
-    pstart = ppos - psoff.astype(U32)
+    pstart = ppos - psoff.astype(U32)          # wraps when ppos < psoff
+    # window fetch is valid whenever SOME (possibly gapped) alignment could
+    # start in-text: ppos + G >= psoff keeps padded coords non-negative
+    fetch_ok = in_pool & (ppos + U32(G) >= psoff.astype(U32))
     pvalid = (in_pool & (ppos >= psoff.astype(U32))
-              & (pstart + plens.astype(U32) <= jnp.uint32(idx.n)))
+              & (pstart + plens.astype(U32) <= n))
 
-    # 5. verify: 2 text-row gathers cover [start, start+len)
-    startf = jnp.where(pvalid, pstart, U32(0))
+    # 5. window extraction: NR text-row gathers cover
+    #    [pstart - G, pstart - G + 128*NR) in lead-padded row coordinates
+    startf = jnp.where(fetch_ok, pstart + U32(128 - G), U32(0))
     r0 = (startf >> U32(7)).astype(I32)
-    rows2 = lax.optimization_barrier(
-        jnp.take(text_rows, jnp.concatenate([r0, r0 + 1]), axis=0))
-    words = ([rows2[:POOL, t] for t in range(8)]
-             + [rows2[POOL:, t] for t in range(8)])
+    rowsN = lax.optimization_barrier(
+        jnp.take(text_rows, jnp.concatenate([r0 + i for i in range(NR)]),
+                 axis=0))
+    words = [rowsN[i * POOL:(i + 1) * POOL, t]
+             for i in range(NR) for t in range(8)]
     ws = ((startf >> U32(4)) & U32(7)).astype(I32)
     sh = (U32(2) * (startf & U32(15))).astype(U32)
     sh_nz = sh > 0
     inv = jnp.where(sh_nz, U32(32) - sh, U32(1))
+    WW = []                          # window words: base (pstart - G + 16t)
+    for t in range(DW + 1):
+        lo = _selectn(words, ws + t)
+        hi = _selectn(words, ws + t + 1)
+        WW.append(jnp.where(sh_nz, (lo >> sh) | (hi << inv), lo))
 
-    PAT = U32(_PAT)
-    nmm_f = jnp.zeros(POOL, U32)
-    seed_f = jnp.zeros(POOL, U32)
-    for t in range(RW):
-        lo = _select16(words, ws + t)
-        hi = _select16(words, ws + t + 1)
-        win = jnp.where(sh_nz, (lo >> sh) | (hi << inv), lo)
-        d = win ^ crow[:, t]
+    def diag_words(d):
+        """Packed window words of diagonal d: base (pstart - G + d + 16t)."""
+        if d == 0:
+            return WW
+        s2, v2 = U32(2 * d), U32(32 - 2 * d)
+        return [(WW[t] >> s2) | (WW[t + 1] << v2) for t in range(DW)]
+
+    # 5a. ungapped verify on the central diagonal (d = G)
+    PATC = U32(_PAT)
+    ud = diag_words(G)
+    mm_u, nmm_f, seed_f = [], jnp.zeros(POOL, U32), jnp.zeros(POOL, U32)
+    for t in range(DW):
+        d = ud[t] ^ crow[:, t]
         vm = crow[:, RW + t]
         nm = crow[:, 2 * RW + t]
         sm = crow[:, 3 * RW + t]
-        mm = (((d | (d >> U32(1))) & PAT) | nm) & vm
+        mm = (((d | (d >> U32(1))) & PATC) | nm) & vm
+        mm_u.append(mm)
         nmm_f = nmm_f + lax.population_count(mm)
         seed_f = seed_f + lax.population_count(mm & sm)
     pnmm = nmm_f.astype(I32)
@@ -356,14 +434,174 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
     nmm_o = jnp.zeros(B * CC, I32).at[cidx].set(pnmm)
     val_o = jnp.zeros(B * CC, bool).at[cidx].set(pvalid)
 
-    # 7. structural fallback (capacity misses / budget beyond pigeonhole).
-    # The gapped-window fallback is decided per READ over both strands at
-    # finalization (pigeon_occurrences) — a lane with no hit is normal for
-    # the wrong strand and must not flag the read by itself.
-    fallback = (seg_over | cand_over | pool_lost | short_fb
-                | (md > (n_seg - 1)))
+    # 7. gapped verify (G > 0): pool-2 screen of one-run gap placements
+    if G > 0:
+        v2 = val_o.reshape(B, CC)
+        n2 = jnp.where(v2, nmm_o.reshape(B, CC), _BIGNMM)
+        best_sc = n2.min(axis=1) * opt.s_mm
+        # gapped records can only enter the reporting window when the
+        # lane's best ungapped score admits them (or no ungapped hit)
+        need_gap = best_sc >= (opt.s_gapo - opt.s_mm)
+        gate = fetch_ok & jnp.take(need_gap, pread)
+        n_gate = gate.sum()
+        gidx = jnp.nonzero(gate, size=GPOOL, fill_value=POOL)[0]
+        in_g = jnp.arange(GPOOL) < n_gate
+        g_over = n_gate > GPOOL
+        gcut = jnp.where(g_over, gidx[GPOOL - 1], jnp.int32(POOL))
+        g_lostp = gate & (jnp.arange(POOL) > gcut)
+        pool2_lost = (jnp.zeros(B, bool).at[
+            jnp.where(g_lostp, pread, B)].set(True, mode="drop"))
+
+        def g2(x):
+            return jnp.take(x, jnp.minimum(gidx, POOL - 1), axis=0)
+
+        pstart2 = g2(pstart)
+        plens2 = g2(plens)
+        pmd2 = g2(pmd)
+        pread2 = g2(pread)
+        crow2 = g2(crow)
+        WW2 = g2(jnp.stack(WW, axis=1))
+
+        LT = 16 * DW
+        seed_start = (plens2 - opt.seed_len)[:, None]     # [P2, 1]
+        tpos = jnp.arange(LT, dtype=I32)[None, :]          # [1, LT]
+        skip = opt.indel_end_skip
+        Lv2 = plens2[:, None]
+
+        def diag_prefix(d):
+            """(mm prefix, mm total, seed prefix, seed total) of diag d."""
+            s2, v2_ = U32(2 * d), U32(32 - 2 * d)
+            mmw, smw = [], []
+            for t in range(DW):
+                if d == 0:
+                    win = WW2[:, t]
+                else:
+                    win = (WW2[:, t] >> s2) | (WW2[:, t + 1] << v2_)
+                x = win ^ crow2[:, t]
+                mm = ((((x | (x >> U32(1))) & PATC) | crow2[:, 2 * RW + t])
+                      & crow2[:, RW + t])
+                mmw.append(mm)
+                smw.append(mm & crow2[:, 3 * RW + t])
+            Pm, Tm = _expand_prefix(jnp.stack(mmw, axis=1), DW)
+            Ps, Ts = _expand_prefix(jnp.stack(smw, axis=1), DW)
+            return Pm, Tm[:, None], Ps, Ts[:, None]
+
+        PG, TG, SG, TSG = diag_prefix(G)
+        BIG = jnp.int32(_BIGNMM)
+        # per-q-class (delta in [-G, G]) minimum: key = score<<8|g<<4|nmm
+        class_key = [jnp.full(GPOOL, _BIGKEY, U32) for _ in range(2 * G + 1)]
+
+        def upd_class(ci, nmm_best, g):
+            key = ((nmm_best.astype(U32) * U32(opt.s_mm)
+                    + U32(opt.s_gapo + opt.s_gape * (g - 1))) << U32(8)) \
+                | (U32(g) << U32(4)) | nmm_best.astype(U32)
+            key = jnp.where(nmm_best < BIG, key, U32(_BIGKEY))
+            class_key[ci] = jnp.minimum(class_key[ci], key)
+
+        for g in range(1, G + 1):
+            feas_g = (jnp.int32(g) <= pmd2)[:, None]
+            Pp, Tp, Sp, TSp = diag_prefix(G + g)
+            Pm_, Tm_, Sm_, TSm_ = diag_prefix(G - g)
+
+            def shift(P, gg):
+                return jnp.concatenate(
+                    [P[:, gg:], jnp.broadcast_to(BIG, (GPOOL, gg))], axis=1)
+
+            # deletion, gap after anchor: q = pstart (class delta 0)
+            tm = (tpos >= skip) & (tpos <= Lv2 - skip)
+            gseed = jnp.where(tpos > seed_start, g, 0)
+            nmm_t = PG + (Tp - Pp)
+            sd_t = SG + (TSp - Sp) + gseed
+            ok_t = tm & feas_g & (nmm_t + g <= pmd2[:, None]) \
+                & (sd_t <= opt.max_seed_diff)
+            q_ok = (pstart2 < n) & (pstart2 + plens2.astype(U32) + U32(g) <= n)
+            nb = jnp.where(ok_t & q_ok[:, None], nmm_t, BIG).min(axis=1)
+            upd_class(G, nb, g)
+
+            # deletion, gap before anchor: q = pstart - g (class delta -g)
+            nmm_t = Pm_ + (TG - PG)
+            sd_t = Sm_ + (TSG - SG) + gseed
+            q2 = pstart2 - U32(g)
+            ok_t = tm & feas_g & (nmm_t + g <= pmd2[:, None]) \
+                & (sd_t <= opt.max_seed_diff)
+            q_ok = (q2 < n) & (q2 + plens2.astype(U32) + U32(g) <= n)
+            nb = jnp.where(ok_t & q_ok[:, None], nmm_t, BIG).min(axis=1)
+            upd_class(G - g, nb, g)
+
+            # insertion, gap after anchor: q = pstart (class delta 0);
+            # read positions t..t+g-1 are the inserted run
+            tm_i = (tpos >= skip - 1) & (tpos <= Lv2 - skip - g)
+            iseed = jnp.clip(tpos + g - seed_start, 0, g)
+            nmm_t = PG + (Tm_ - shift(Pm_, g))
+            sd_t = SG + (TSm_ - shift(Sm_, g)) + iseed
+            ok_t = tm_i & feas_g & (nmm_t + g <= pmd2[:, None]) \
+                & (sd_t <= opt.max_seed_diff)
+            q_ok = (pstart2 < n) & (pstart2 + (plens2 - g).astype(U32) <= n)
+            nb = jnp.where(ok_t & q_ok[:, None], nmm_t, BIG).min(axis=1)
+            upd_class(G, nb, g)
+
+            # insertion, gap before anchor: q = pstart + g (class delta +g)
+            nmm_t = Pp + (TG - shift(PG, g))
+            sd_t = Sp + (TSG - shift(SG, g)) + iseed
+            q3 = pstart2 + U32(g)
+            ok_t = tm_i & feas_g & (nmm_t + g <= pmd2[:, None]) \
+                & (sd_t <= opt.max_seed_diff)
+            q_ok = (q3 < n) & (q3 + (plens2 - g).astype(U32) <= n)
+            nb = jnp.where(ok_t & q_ok[:, None], nmm_t, BIG).min(axis=1)
+            upd_class(G + g, nb, g)
+
+        # top-GC_SLOTS q-classes by packed key (score-major)
+        kmat = jnp.stack(class_key, axis=1)               # [P2, 2G+1]
+        qmat = (pstart2[:, None]
+                + jnp.arange(-G, G + 1, dtype=jnp.int32).astype(U32)[None, :])
+        out_k, out_q = [], []
+        for _ in range(min(GC_SLOTS, 2 * G + 1)):
+            i = jnp.argmin(kmat, axis=1)
+            oh = jnp.arange(2 * G + 1)[None, :] == i[:, None]
+            out_k.append(jnp.take_along_axis(kmat, i[:, None], axis=1)[:, 0])
+            out_q.append(jnp.take_along_axis(qmat, i[:, None], axis=1)[:, 0])
+            kmat = jnp.where(oh, U32(_BIGKEY), kmat)
+        while len(out_k) < GC_SLOTS:
+            out_k.append(jnp.full(GPOOL, _BIGKEY, U32))
+            out_q.append(jnp.zeros(GPOOL, U32))
+        g_key = jnp.stack(out_k, axis=1)
+        g_q = jnp.stack(out_q, axis=1)
+        # conservative overflow: a dropped class could still enter the
+        # reporting window (score <= kept best + s_mm)
+        if 2 * G + 1 > GC_SLOTS:
+            rem_key = kmat.min(axis=1)
+            rem = rem_key >> U32(8)
+            kept = out_k[0] >> U32(8)
+            g_drop = in_g & (rem_key != U32(_BIGKEY)) \
+                & (rem <= kept + U32(opt.s_mm))
+            g_fb = (jnp.zeros(B, bool).at[
+                jnp.where(g_drop, pread2, B)].set(True, mode="drop"))
+        else:
+            g_fb = jnp.zeros(B, bool)
+        g_key = jnp.where(in_g[:, None], g_key, U32(_BIGKEY))
+        g_read = jnp.where(in_g, pread2, jnp.int32(B))
+    else:
+        pool2_lost = jnp.zeros(B, bool)
+        g_fb = jnp.zeros(B, bool)
+        g_q = jnp.zeros((1, GC_SLOTS), U32)
+        g_key = jnp.full((1, GC_SLOTS), _BIGKEY, U32)
+        g_read = jnp.full(1, B, I32)
+        n_gate = jnp.int32(0)
+
+    # 8. structural fallback (capacity misses / budget beyond pigeonhole)
+    fallback = (seg_over | cand_over | pool_lost | short_fb | pool2_lost
+                | g_fb | (md > (n_seg - 1)))
     return PigeonResult(pos=pos_o, nmm=nmm_o, valid=val_o, fallback=fallback,
-                        n_cand=jnp.minimum(total, CC))
+                        n_cand=jnp.minimum(total, CC),
+                        g_q=g_q, g_key=g_key, g_read=g_read,
+                        n_gate=jnp.asarray(n_gate, I32))
+
+
+def unpack_gap_key(key):
+    """Packed gapped key -> (score, gap_len, nmm) int arrays."""
+    key = np.asarray(key, np.uint32)
+    return (key >> 8).astype(np.int64), ((key >> 4) & 0xF).astype(np.int64), \
+        (key & 0xF).astype(np.int64)
 
 
 def pigeon_occurrences(res: PigeonResult, B: int, opt, cand_cap: int):
@@ -371,10 +609,9 @@ def pigeon_occurrences(res: PigeonResult, B: int, opt, cand_cap: int):
 
     Lanes [0, B) are forward-strand reads, [B, 2B) their reverse
     complements (the ``pipeline.search_batch_device`` convention).
-    Applies the gapped-window fallback per read: with gap budgets enabled,
-    gapped alignments can only affect output when no ungapped hit exists
-    on either strand or ``s_gapo <= best + s_mm`` — those reads are
-    flagged for the beam.  Returns (occs per read [B], fallback bool[B]).
+    Merges the ungapped candidate slots with the gapped pool-2 classes;
+    dedup keeps the minimum score per (pos, strand).
+    Returns (occs per read [B], fallback bool[B]).
     """
     from ..resolve.samse import Occurrence
     CC = cand_cap
@@ -386,6 +623,29 @@ def pigeon_occurrences(res: PigeonResult, B: int, opt, cand_cap: int):
     B2 = pos.shape[0]
     assert B2 == 2 * B, (B2, B)
     fb = fallback[:B] | fallback[B:]
+
+    # gapped pool-2 entries grouped by lane
+    g_read = np.asarray(res.g_read)
+    g_q = np.asarray(res.g_q)
+    g_key = np.asarray(res.g_key)
+    gap_by_lane: dict[int, list] = {}
+    live = np.nonzero((g_read < B2) & (g_key != _BIGKEY).any(axis=1))[0]
+    for i in live:
+        lane = int(g_read[i])
+        for s in range(g_key.shape[1]):
+            kv = int(g_key[i, s])
+            if kv == _BIGKEY:
+                continue
+            score, g, nm = kv >> 8, (kv >> 4) & 0xF, kv & 0xF
+            gap_by_lane.setdefault(lane, []).append(
+                (int(g_q[i, s]), score, nm, g))
+
+    def better(cur, score, ngapo, ngape, nm):
+        # canonical dedup order (shared with pigeon_occ_arrays):
+        # min (score, ngapo, ngape, nmm) wins
+        return cur is None or (cur.score, cur.ngapo, cur.ngape, cur.nmm) \
+            > (score, ngapo, ngape, nm)
+
     occs = []
     for j in range(B):
         d = {}
@@ -394,13 +654,104 @@ def pigeon_occurrences(res: PigeonResult, B: int, opt, cand_cap: int):
                 for s in np.nonzero(valid[lane])[0]:
                     key = (int(pos[lane, s]), strand)
                     sc = int(nmm[lane, s]) * s_mm
-                    cur = d.get(key)
-                    if cur is None or cur.score > sc:
+                    if better(d.get(key), sc, 0, 0, int(nmm[lane, s])):
                         d[key] = Occurrence(int(pos[lane, s]), strand, sc,
                                             int(nmm[lane, s]), 0, 0)
-            if opt.max_gapo > 0:
-                if not d or opt.s_gapo <= min(o.score for o in d.values()) + s_mm:
-                    fb[j] = True
-                    d = {}
+                for q, score, nm, g in gap_by_lane.get(lane, ()):
+                    key = (q, strand)
+                    if better(d.get(key), score, 1, g - 1, nm):
+                        d[key] = Occurrence(q, strand, score, nm, 1, g - 1)
         occs.append(sorted(d.values(), key=lambda o: (o.score, o.strand, o.pos)))
     return occs, fb
+
+
+def pigeon_occ_arrays(res: PigeonResult, B: int, opt, cand_cap: int):
+    """Vectorized host finalization: flat occurrence ARRAYS, no Python
+    per-occurrence objects (the loop twin is :func:`pigeon_occurrences`;
+    tested equal).
+
+    Returns (occ dict, fallback bool[B]).  The dict holds numpy arrays
+    ``rid, pos, strand, score, nmm, ngapo, ngape`` deduped per
+    (rid, strand, pos) by minimum (score, ngapo, ngape, nmm) and sorted
+    by (rid, score, strand, pos) — the order the resolution layer
+    consumes.  Entries of fallback reads are dropped.
+    """
+    CC = cand_cap
+    s_mm = opt.s_mm
+    pos = np.asarray(res.pos).reshape(-1, CC)
+    nmm = np.asarray(res.nmm).reshape(-1, CC)
+    valid = np.asarray(res.valid).reshape(-1, CC)
+    fallback = np.asarray(res.fallback)
+    B2 = pos.shape[0]
+    assert B2 == 2 * B, (B2, B)
+    fb = fallback[:B] | fallback[B:]
+
+    li, si = np.nonzero(valid)
+    u_pos = pos[li, si].astype(np.int64)
+    u_nmm = nmm[li, si].astype(np.int32)
+    u_rid = np.where(li < B, li, li - B).astype(np.int64)
+    u_str = (li >= B).astype(np.int8)
+    u_sc = u_nmm * s_mm
+    u_go = np.zeros(li.size, np.int32)
+    u_ge = np.zeros(li.size, np.int32)
+
+    g_read = np.asarray(res.g_read)
+    g_key = np.asarray(res.g_key)
+    g_q = np.asarray(res.g_q)
+    gi, gs = np.nonzero((g_key != _BIGKEY) & (g_read < B2)[:, None])
+    lane = g_read[gi]
+    kv = g_key[gi, gs].astype(np.int64)
+    v_pos = g_q[gi, gs].astype(np.int64)
+    v_sc = (kv >> 8).astype(np.int32)
+    v_g = ((kv >> 4) & 0xF).astype(np.int32)
+    v_nmm = (kv & 0xF).astype(np.int32)
+    v_rid = np.where(lane < B, lane, lane - B).astype(np.int64)
+    v_str = (lane >= B).astype(np.int8)
+    v_go = np.ones(gi.size, np.int32)
+    v_ge = v_g - 1
+
+    rid = np.concatenate([u_rid, v_rid])
+    o_pos = np.concatenate([u_pos, v_pos])
+    o_str = np.concatenate([u_str, v_str])
+    o_sc = np.concatenate([u_sc, v_sc])
+    o_nmm = np.concatenate([u_nmm, v_nmm])
+    o_go = np.concatenate([u_go, v_go])
+    o_ge = np.concatenate([u_ge, v_ge])
+
+    keep = ~fb[rid]
+    rid, o_pos, o_str, o_sc, o_nmm, o_go, o_ge = (
+        a[keep] for a in (rid, o_pos, o_str, o_sc, o_nmm, o_go, o_ge))
+
+    # dedup per (rid, strand, pos): min (score, ngapo, ngape, nmm)
+    order = np.lexsort((o_nmm, o_ge, o_go, o_sc, o_pos, o_str, rid))
+    rid, o_pos, o_str, o_sc, o_nmm, o_go, o_ge = (
+        a[order] for a in (rid, o_pos, o_str, o_sc, o_nmm, o_go, o_ge))
+    first = np.ones(rid.size, bool)
+    first[1:] = ((rid[1:] != rid[:-1]) | (o_str[1:] != o_str[:-1])
+                 | (o_pos[1:] != o_pos[:-1]))
+    rid, o_pos, o_str, o_sc, o_nmm, o_go, o_ge = (
+        a[first] for a in (rid, o_pos, o_str, o_sc, o_nmm, o_go, o_ge))
+
+    # canonical consumption order: (rid, score, strand, pos)
+    order = np.lexsort((o_pos, o_str, o_sc, rid))
+    occ = dict(rid=rid[order], pos=o_pos[order], strand=o_str[order],
+               score=o_sc[order], nmm=o_nmm[order], ngapo=o_go[order],
+               ngape=o_ge[order])
+    return occ, fb
+
+
+def occ_lists_to_arrays(occs):
+    """Adapter: per-read Occurrence lists -> the flat array dict of
+    :func:`pigeon_occ_arrays` (lists are already deduped + sorted)."""
+    rid, pos, strand, score, nmm, ngapo, ngape = [], [], [], [], [], [], []
+    for j, lst in enumerate(occs):
+        for o in lst:
+            rid.append(j); pos.append(o.pos); strand.append(o.strand)
+            score.append(o.score); nmm.append(o.nmm)
+            ngapo.append(o.ngapo); ngape.append(o.ngape)
+    return dict(rid=np.asarray(rid, np.int64), pos=np.asarray(pos, np.int64),
+                strand=np.asarray(strand, np.int8),
+                score=np.asarray(score, np.int32),
+                nmm=np.asarray(nmm, np.int32),
+                ngapo=np.asarray(ngapo, np.int32),
+                ngape=np.asarray(ngape, np.int32))

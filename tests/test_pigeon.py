@@ -52,7 +52,7 @@ def run_pigeon(reads, opt, md_val=2, n_seg=3):
         jnp.asarray(batch["rw"]), jnp.asarray(batch["nmask"]),
         jnp.asarray(batch["vmask"]), jnp.asarray(batch["seedmask"]),
         jnp.asarray(batch["lens"]), jnp.asarray(md), opt, n_seg=n_seg,
-        cand_cap=32)
+        cand_cap=32, gpool=4 * len(both))
     return pigeon_occurrences(res, len(reads), opt, 32)
 
 
@@ -122,19 +122,101 @@ def test_pigeon_reads_with_n():
         assert got == o, (j, sorted(got.items()), sorted(o.items()))
 
 
-def test_gapped_budget_triggers_fallback_only_when_needed():
-    """With gaps enabled, reads with a clean mismatch hit must NOT fall
-    back (gapped alignments cannot enter the reporting window), while
-    reads with no ungapped hit must."""
-    opt = AlnOpt(max_diff=2, max_gapo=1)
+def reads_with_indels(rs, n_reads, L=60, k=1, maxg=2):
+    """Reads extracted from the genome with one planted indel (length
+    <= maxg) plus up to k mismatches."""
+    reads = []
+    for _ in range(n_reads):
+        p = rs.randint(0, len(T) - L - maxg - 1)
+        g = rs.randint(1, maxg + 1)
+        t = rs.randint(8, L - 8 - g)
+        if rs.randint(2):   # deletion: skip g genome bases at t
+            r = np.concatenate([T[p:p + t], T[p + t + g:p + L + g]])
+        else:               # insertion: g random bases at t
+            ins = rs.randint(0, 4, g).astype(np.int8)
+            r = np.concatenate([T[p:p + t], ins, T[p + t:p + L - g]])
+        r = r.copy()
+        for _ in range(rs.randint(0, k + 1)):
+            q = rs.randint(0, L)
+            r[q] = (r[q] + rs.randint(1, 4)) % 4
+        reads.append(r.astype(np.int8))
+    return reads
+
+
+def _window_sets(occs_j, oracle_map, s_mm):
+    """Score-window-filtered (pos,strand)->score maps for got vs oracle."""
+    o = dict(oracle_map)
+    if o:
+        best = min(v[0] for v in o.values())
+        o = {k: v[0] for k, v in o.items() if v[0] <= best + s_mm}
+    got_all = {(x.pos, x.strand): x.score for x in occs_j}
+    if got_all:
+        bestg = min(got_all.values())
+        got = {k: v for k, v in got_all.items() if v <= bestg + s_mm}
+    else:
+        got = {}
+    return got, o
+
+
+def test_gapped_pigeon_matches_oracle():
+    """One-run-gap verify: pigeon occurrences == oracle hit set on reads
+    with planted indels + mismatches (max_gapo=1)."""
+    opt = AlnOpt(max_diff=3, max_gapo=1)
     rs = np.random.RandomState(7)
-    reads, _ = reads_with_planted(rs, 10, L=60, k=1)
+    reads = reads_with_indels(rs, 24, L=60, k=1, maxg=2)
+    reads += reads_with_planted(rs, 8, L=60, k=2)[0]
     # an unalignable read: random sequence not from the genome
     junk = rs.randint(0, 4, 60).astype(np.int8)
     reads.append(junk)
-    occs, fb = run_pigeon(reads, opt, md_val=2)
-    assert not fb[:10].any(), "clean reads must stay on the pigeon path"
-    assert fb[10], "no-ungapped-hit read must fall back when gaps allowed"
+    occs, fb = run_pigeon(reads, opt, md_val=3, n_seg=4)
+    n_checked = 0
+    for j, read in enumerate(reads):
+        if fb[j]:
+            continue
+        o = oracle_occ_set(read, opt, 3, 0)
+        o.update(oracle_occ_set(alphabet.revcomp(read), opt, 3, 1))
+        got, ow = _window_sets(occs[j], o, opt.s_mm)
+        assert got == ow, (j, sorted(got.items()), sorted(ow.items()))
+        n_checked += 1
+    assert n_checked >= 25
+    assert not fb[-1] and occs[-1] == [], \
+        "junk read resolves as unmapped on the pigeon path (no fallback)"
+
+
+def test_gapped_pigeon_150bp():
+    """150bp reads (3-row window) with indels, budget 4 (5 segments)."""
+    opt = AlnOpt(max_diff=4, max_gapo=1)
+    rs = np.random.RandomState(17)
+    reads = reads_with_indels(rs, 16, L=150, k=2, maxg=3)
+    occs, fb = run_pigeon(reads, opt, md_val=4, n_seg=5)
+    n_checked = 0
+    for j, read in enumerate(reads):
+        if fb[j]:
+            continue
+        o = oracle_occ_set(read, opt, 4, 0)
+        o.update(oracle_occ_set(alphabet.revcomp(read), opt, 4, 1))
+        got, ow = _window_sets(occs[j], o, opt.s_mm)
+        assert got == ow, (j, sorted(got.items()), sorted(ow.items()))
+        n_checked += 1
+    assert n_checked >= 12
+
+
+def test_mismatch_150bp_matches_oracle():
+    """150bp mismatch-only reads exercise the widened (3-row) window."""
+    opt = AlnOpt(max_diff=3, max_gapo=0)
+    rs = np.random.RandomState(19)
+    reads, _ = reads_with_planted(rs, 16, L=150, k=3)
+    occs, fb = run_pigeon(reads, opt, md_val=3, n_seg=4)
+    n_checked = 0
+    for j, read in enumerate(reads):
+        if fb[j]:
+            continue
+        o = oracle_occ_set(read, opt, 3, 0)
+        o.update(oracle_occ_set(alphabet.revcomp(read), opt, 3, 1))
+        got, ow = _window_sets(occs[j], o, opt.s_mm)
+        assert got == ow, (j, sorted(got.items()), sorted(ow.items()))
+        n_checked += 1
+    assert n_checked >= 12
 
 
 def test_budget_above_segments_falls_back():
