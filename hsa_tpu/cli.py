@@ -100,14 +100,36 @@ def _iter_batches(names, reads, quals, batch):
         yield s, names[s:s + batch], reads[s:s + batch], quals[s:s + batch]
 
 
+_SAI_FIELDS = ("score", "nmm", "ngapo", "ngape", "k", "l")
+
+
+def _hits_to_part(hf, hr):
+    """Per-batch hit lists -> flat numpy field dict (legacy stream order:
+    all fwd reads of the batch, then all rc reads)."""
+    counts_f = np.asarray([len(h) for h in hf], np.int32)
+    counts_r = np.asarray([len(h) for h in hr], np.int32)
+    flat = {k: [] for k in _SAI_FIELDS}
+    for hits_side in (hf, hr):
+        for hits in hits_side:
+            for hh in hits:
+                flat["score"].append(hh.score); flat["nmm"].append(hh.nmm)
+                flat["ngapo"].append(hh.ngapo); flat["ngape"].append(hh.ngape)
+                flat["k"].append(hh.k); flat["l"].append(hh.l)
+    return dict(counts_f=counts_f, counts_r=counts_r,
+                **{k: np.asarray(v, np.int64) for k, v in flat.items()})
+
+
 def cmd_aln(argv):
     p = argparse.ArgumentParser(prog="hsa-tpu aln")
     p.add_argument("prefix")
     p.add_argument("reads")
     p.add_argument("-f", "--out", required=True, help="output .sai.npz")
     p.add_argument("--metrics", default=None, help="write run metrics JSON here")
+    p.add_argument("--resume", action="store_true",
+                   help="resume an interrupted run from its part shards")
     _add_search_opts(p)
     a = p.parse_args(argv)
+    import os
     from .pipeline import Aligner
     from .metrics import RunMetrics
     met = RunMetrics()
@@ -118,67 +140,82 @@ def cmd_aln(argv):
     with met.timer("index_load"):
         al = Aligner(a.prefix, _opt_from_args(a), ladder=ladder,
                      engine="beam")  # .sai carries (k,l) intervals: beam path
-    names, reads, quals = _load_reads(a.reads)
-    reads, quals = _apply_trim(reads, quals, getattr(a, "trim_qual", 0))
-    flat = dict(score=[], nmm=[], ngapo=[], ngape=[], k=[], l=[])
-    counts_f, counts_r = [], []
-    # streaming: search + readback per batch (honest timing model —
-    # docs/TPU_NOTES.md v2; the round-1 no-readback phase split is gone)
-    for s, bn, br, bq in _iter_batches(names, reads, quals, a.batch):
+    args_key = f"aln|{a.reads}|{a.batch}|{a.beam_width}|{a.n}"
+    done = _load_manifest(a.out, args_key) if a.resume else 0
+    if done:
+        met.log(f"resuming at read {done}")
+    parts_dir = a.out + ".parts"
+    os.makedirs(parts_dir, exist_ok=True)
+    # streaming: search + readback per batch, one part shard per batch —
+    # host RSS stays flat regardless of input size; the final .sai.npz is
+    # a straight concatenation of the shards
+    n_reads = 0
+    part_files = []
+    for s, bn, br, bq in _stream_batches(a.reads, a.batch,
+                                         getattr(a, "trim_qual", 0)):
+        n_reads = s + len(br)
+        pf = os.path.join(parts_dir, f"part_{s:012d}.npz")
+        part_files.append(pf)
+        if n_reads <= done and os.path.exists(pf):
+            met.count("reads_in", len(br))
+            continue
         with met.timer("search"):
             hf, hr = al.search_batch(br, beam_width=a.beam_width,
                                      ladder=ladder)
         ld, hd = al.last_overflow
         met.count("beam_overflow_reads", int((np.asarray(ld) > 0).sum()))
         met.count("reads_in", len(br))
-        for hits_side, counts in ((hf, counts_f), (hr, counts_r)):
-            for hits in hits_side:
-                counts.append(len(hits))
-                for hh in hits:
-                    flat["score"].append(hh.score); flat["nmm"].append(hh.nmm)
-                    flat["ngapo"].append(hh.ngapo); flat["ngape"].append(hh.ngape)
-                    flat["k"].append(hh.k); flat["l"].append(hh.l)
-        met.log(f"aln {s + len(br)}/{len(reads)} reads")
-    np.savez_compressed(a.out, counts_f=np.asarray(counts_f, np.int32),
-                        counts_r=np.asarray(counts_r, np.int32),
-                        batch=np.int64(a.batch),
-                        **{k: np.asarray(v, np.int64) for k, v in flat.items()})
+        np.savez(pf, **_hits_to_part(hf, hr))
+        _save_manifest(a.out, args_key, n_reads, -1)
+        met.log(f"aln {n_reads} reads")
+    # finalize: merge shards (in order) into the single-file .sai.npz
+    merged = {k: [] for k in ("counts_f", "counts_r") + _SAI_FIELDS}
+    for pf in part_files:
+        z = np.load(pf)
+        for k in merged:
+            merged[k].append(z[k])
+    np.savez_compressed(
+        a.out, batch=np.int64(a.batch),
+        **{k: (np.concatenate(v) if v else np.zeros(0, np.int64))
+           for k, v in merged.items()})
+    for pf in part_files:
+        os.remove(pf)
+    os.rmdir(parts_dir)
     met.dump(a.metrics)
 
 
-def _sai_to_hits(path, n_reads):
+def _sai_stream(path):
+    """Yield (start_ordinal, hits_f, hits_r) per stored batch.
+
+    Reconstructs the legacy flat stream (batch0 fwd, batch0 rc, batch1
+    fwd, ...) batch-by-batch so callers never materialize per-read hit
+    lists for the whole file at once.
+    """
     from .oracle.bnb import Hit
     z = np.load(path)
     cf, cr = z["counts_f"], z["counts_r"]
-    assert len(cf) == n_reads, "read file does not match .sai"
-    fields = [z[k] for k in ("score", "nmm", "ngapo", "ngape", "k", "l")]
-    # counts are interleaved per batch (all fwd of batch, then all rc); the
-    # flat arrays were appended fwd-then-rc per batch too, so reconstruct in
-    # the same order
-    hits_f = [[] for _ in range(n_reads)]
-    hits_r = [[] for _ in range(n_reads)]
-    # aln wrote counts in batch order: counts_f and counts_r are global in
-    # read order; the flat stream order is (batch0 fwd reads, batch0 rc
-    # reads, batch1 fwd, ...) — recover via stored batch size
-    bsz = int(z["batch"]) if "batch" in z else None
+    bsz = int(z["batch"]) if "batch" in z else len(cf)
+    fields = [z[k] for k in _SAI_FIELDS]
     idx = 0
-    if bsz is None:
-        # single stream: fwd for all reads then rc — legacy fallback
-        order = [(0, j) for j in range(n_reads)] + [(1, j) for j in range(n_reads)]
-    else:
-        order = []
-        for s in range(0, n_reads, bsz):
-            e = min(s + bsz, n_reads)
-            order += [(0, j) for j in range(s, e)]
-            order += [(1, j) for j in range(s, e)]
-    for side, j in order:
-        c = int((cf if side == 0 else cr)[j])
-        for _ in range(c):
-            h = Hit(int(fields[0][idx]), int(fields[1][idx]), int(fields[2][idx]),
-                    int(fields[3][idx]), int(fields[4][idx]), int(fields[5][idx]))
-            (hits_f if side == 0 else hits_r)[j].append(h)
-            idx += 1
-    return hits_f, hits_r
+    for s in range(0, len(cf), max(bsz, 1)):
+        e = min(s + bsz, len(cf))
+        hits_f = [[] for _ in range(e - s)]
+        hits_r = [[] for _ in range(e - s)]
+        for side, hits in ((cf, hits_f), (cr, hits_r)):
+            for j in range(s, e):
+                for _ in range(int(side[j])):
+                    hits[j - s].append(Hit(
+                        int(fields[0][idx]), int(fields[1][idx]),
+                        int(fields[2][idx]), int(fields[3][idx]),
+                        int(fields[4][idx]), int(fields[5][idx])))
+                    idx += 1
+        yield s, hits_f, hits_r
+    assert idx == len(fields[0]), "corrupt .sai stream"
+
+
+def _sai_batch_size(path):
+    z = np.load(path)
+    return int(z["batch"]) if "batch" in z else len(z["counts_f"])
 
 
 def cmd_samse(argv):
@@ -190,15 +227,26 @@ def cmd_samse(argv):
     p.add_argument("-n", dest="n_multi", type=int, default=3)
     a = p.parse_args(argv)
     from .pipeline import Aligner
-    from .io.sam import write_sam
+    from .io.sam import sam_header
     from .resolve.samse import resolve_batch_se
     al = Aligner(a.prefix)
-    names, reads, quals = _load_reads(a.reads)
-    hf, hr = _sai_to_hits(a.sai, len(reads))
-    recs = resolve_batch_se(al.text, al.meta, reads, names, quals, hf, hr,
-                            al.locate_fn, al.opt, SamseOpt(n_multi=a.n_multi))
     out = open(a.out, "w") if a.out else sys.stdout
-    write_sam(out, al.meta, recs, "samse")
+    out.write(sam_header(al.meta, "samse"))
+    # streaming: read batches and .sai batches advance in lockstep
+    bsz = _sai_batch_size(a.sai)
+    read_stream = _stream_batches(a.reads, bsz)
+    n = 0
+    for (s, bn, br, bq), (s2, hf, hr) in zip(read_stream, _sai_stream(a.sai)):
+        assert s == s2 and len(br) == len(hf), \
+            "read file does not match .sai"
+        recs = resolve_batch_se(al.text, al.meta, br, bn, bq, hf, hr,
+                                al.locate_fn, al.opt,
+                                SamseOpt(n_multi=a.n_multi), read_offset=s)
+        for r in recs:
+            out.write(r.to_sam() + "\n")
+        n = s + len(br)
+    out.flush()
+    print(f"[hsa-tpu samse] {n} reads", file=sys.stderr)
     if a.out:
         out.close()
 
@@ -343,20 +391,32 @@ def cmd_sampe(argv):
     p.add_argument("-n", dest="n_multi", type=int, default=3)
     a = p.parse_args(argv)
     from .pipeline import Aligner
-    from .io.sam import write_sam
+    from .io.sam import sam_header
     from .config import PEOpt
     from .resolve.sampe import resolve_batch_pe
     al = Aligner(a.prefix)
-    names1, reads1, quals1 = _load_reads(a.reads1)
-    names2, reads2, quals2 = _load_reads(a.reads2)
-    assert len(reads1) == len(reads2), "mate files differ in read count"
-    h1 = _sai_to_hits(a.sai1, len(reads1))
-    h2 = _sai_to_hits(a.sai2, len(reads2))
-    recs = resolve_batch_pe(al.text, al.meta, reads1, reads2, names1,
-                            quals1, quals2, h1, h2, al.locate_fn, al.opt,
-                            PEOpt(max_isize=a.max_isize, n_multi=a.n_multi))
     out = open(a.out, "w") if a.out else sys.stdout
-    write_sam(out, al.meta, recs, "sampe")
+    out.write(sam_header(al.meta, "sampe"))
+    peopt = PEOpt(max_isize=a.max_isize, n_multi=a.n_multi)
+    bsz = _sai_batch_size(a.sai1)
+    assert bsz == _sai_batch_size(a.sai2), ".sai batch sizes differ"
+    n = 0
+    # streaming: both mates' read + .sai streams advance in lockstep;
+    # insert-size inference is batch-local (matches align-pe)
+    for (s, n1, r1, q1), (s2, n2, r2, q2), (s3, hf1, hr1), (s4, hf2, hr2) \
+            in zip(_stream_batches(a.reads1, bsz),
+                   _stream_batches(a.reads2, bsz),
+                   _sai_stream(a.sai1), _sai_stream(a.sai2)):
+        assert s == s2 == s3 == s4 and len(r1) == len(r2) == len(hf1), \
+            "mate/sai files do not match"
+        recs = resolve_batch_pe(al.text, al.meta, r1, r2, n1, q1, q2,
+                                (hf1, hr1), (hf2, hr2), al.locate_fn,
+                                al.opt, peopt, read_offset=s)
+        for r in recs:
+            out.write(r.to_sam() + "\n")
+        n = s + len(r1)
+    out.flush()
+    print(f"[hsa-tpu sampe] {n} pairs", file=sys.stderr)
     if a.out:
         out.close()
 
@@ -368,33 +428,66 @@ def cmd_align_pe(argv):
     p.add_argument("reads2")
     p.add_argument("-f", "--out", default=None)
     p.add_argument("-a", dest="max_isize", type=int, default=500)
+    p.add_argument("--metrics", default=None, help="write run metrics JSON here")
+    p.add_argument("--resume", action="store_true",
+                   help="resume an interrupted run from its .manifest.json")
+    p.add_argument("--engine", default="auto",
+                   choices=("auto", "pigeon", "beam"),
+                   help="search engine routing (default auto)")
     _add_search_opts(p)
     a = p.parse_args(argv)
     from .pipeline import Aligner
     from .io.sam import sam_header
     from .config import PEOpt
-    al = Aligner(a.prefix, _opt_from_args(a))
-    names1, reads1, quals1 = _load_reads(a.reads1)
-    names2, reads2, quals2 = _load_reads(a.reads2)
-    reads1, quals1 = _apply_trim(reads1, quals1, getattr(a, "trim_qual", 0))
-    reads2, quals2 = _apply_trim(reads2, quals2, getattr(a, "trim_qual", 0))
-    assert len(reads1) == len(reads2), "mate files differ in read count"
-    out = open(a.out, "w") if a.out else sys.stdout
-    out.write(sam_header(al.meta, "align-pe"))
+    from .metrics import RunMetrics
+    met = RunMetrics()
+    met.config = dict(cmd="align-pe", reads1=a.reads1, reads2=a.reads2,
+                      batch=a.batch, beam_width=a.beam_width,
+                      engine=a.engine, opt=_opt_from_args(a).to_dict())
+    ladder = tuple(int(x) for x in a.ladder.split(",")) if a.ladder else None
+    with met.timer("index_load"):
+        al = Aligner(a.prefix, _opt_from_args(a), ladder=ladder,
+                     engine=a.engine)
+    args_key = f"align-pe|{a.reads1}|{a.reads2}|{a.batch}|{a.beam_width}|{a.n}"
+    done = _load_manifest(a.out, args_key) if a.resume else 0
+    mode = "a" if (a.resume and done) else "w"
+    out = open(a.out, mode) if a.out else sys.stdout
+    if not done:
+        out.write(sam_header(al.meta, "align-pe"))
+    else:
+        met.log(f"resuming at pair {done}")
     peopt = PEOpt(max_isize=a.max_isize)
-    # streaming: each pair batch is searched (pigeon + beam fallback),
-    # resolved, and written before the next starts
-    for s in range(0, len(reads1), a.batch):
-        e = min(s + a.batch, len(reads1))
-        recs = al.align_pe(reads1[s:e], reads2[s:e], names1[s:e],
-                           quals1[s:e], quals2[s:e], read_offset=s,
-                           beam_width=a.beam_width, peopt=peopt)
-        for r in recs:
-            out.write(r.to_sam() + "\n")
-        out.flush()
-        print(f"[hsa-tpu align-pe] {e}/{len(reads1)} pairs", file=sys.stderr)
+    # streaming: both mates' FASTQ batches advance in lockstep; each pair
+    # batch is searched (pigeon + beam fallback), resolved, and written
+    # before the next starts — flat RSS regardless of input size
+    total = 0
+    trim = getattr(a, "trim_qual", 0)
+    for (s, n1, r1, q1), (s2, n2, r2, q2) in zip(
+            _stream_batches(a.reads1, a.batch, trim),
+            _stream_batches(a.reads2, a.batch, trim)):
+        assert s == s2 and len(r1) == len(r2), \
+            "mate files differ in read count"
+        total = s + len(r1)
+        if total <= done:
+            continue
+        with met.timer("align"):
+            recs = al.align_pe(r1, r2, n1, q1, q2, read_offset=s,
+                               beam_width=a.beam_width, peopt=peopt)
+        met.count("reads_in", 2 * len(r1))
+        met.count("records_out", len(recs))
+        met.count("reads_mapped",
+                  sum(1 for r in recs if not (r.flag & 4)))
+        with met.timer("write"):
+            for r in recs:
+                out.write(r.to_sam() + "\n")
+            out.flush()
+        _save_manifest(a.out, args_key, total, -1)
+        met.log(f"align-pe {total} pairs")
     if a.out:
         out.close()
+    s_ = met.dump(a.metrics)
+    met.log(f"done: {s_.get('reads_mapped', 0)}/{s_.get('reads_in', 0)} "
+            "ends mapped")
 
 
 COMMANDS = {"index": cmd_index, "aln": cmd_aln, "samse": cmd_samse,

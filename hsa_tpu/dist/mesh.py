@@ -193,3 +193,76 @@ class ShardedIndex:
                           out_specs=P("data"), check_vma=False)
         jf = jax.jit(f)
         return lambda ranks: jf(ranks, *iargs)
+
+    def pigeon_fn(self, opt, n_seg, text_rows, cand_cap=16, with_kmer=False):
+        """jit fn(batch dict, md, [tk, tl]) -> PigeonResult, data-sharded.
+
+        The flagship seed-and-verify engine on the sharded index: occ and
+        sample tables stay sharded (every fm primitive inside
+        pigeon_search runs the masked-gather + psum merge), while the
+        packed text rows and the optional K-mer seed table replicate —
+        ~0.8 GB + 128 MB at human scale, small next to the occ shards.
+
+        Reads are data-parallel; per-segment arrays arrive seg-major
+        [n_seg*B] and are resharded seg-first so each data slice keeps
+        whole reads.  ``fn`` accepts the dict from ``pack_pigeon_batch``.
+        """
+        from ..search import pigeon as pg
+        iargs, ispecs = self._index_args()
+        n_data = self.mesh.shape["data"]
+
+        def core(trows, segs_rev, seg_lens, seg_off, rw, nmask, vmask,
+                 seedmask, lens, md, *rest):
+            rest = list(rest)
+            seed = None
+            if with_kmer:
+                tk, tl, km, km_ok, seg_short = rest[:5]
+                rest = rest[5:]
+                seed = (tk, tl, km.reshape(-1), km_ok.reshape(-1),
+                        seg_short.reshape(-1))
+            idx = self._local_idx(*rest)
+            SL = segs_rev.shape[2]
+            res = pg.pigeon_search(
+                idx, trows, segs_rev.reshape(-1, SL), seg_lens.reshape(-1),
+                seg_off.reshape(-1), rw, nmask, vmask, seedmask, lens, md,
+                opt, n_seg=n_seg, cand_cap=cand_cap, kmer_seed=seed)
+            # globalize the pool-2 lane owners so host finalization sees
+            # batch-global read-lane ids after concatenation
+            B_loc = lens.shape[0]
+            off = lax.axis_index("data").astype(jnp.int32) * B_loc
+            g_read = jnp.where(res.g_read < B_loc, res.g_read + off,
+                               n_data * B_loc)
+            return res._replace(g_read=g_read,
+                                n_gate=res.n_gate.reshape(1))
+
+        from ..search.pigeon import PigeonResult
+        seg_specs = (P(None, "data", None), P(None, "data"), P(None, "data"))
+        kmer_specs = ((P(), P(), P(None, "data"), P(None, "data"),
+                       P(None, "data")) if with_kmer else ())
+        out_specs = PigeonResult(
+            pos=P("data"), nmm=P("data"), valid=P("data"),
+            fallback=P("data"), n_cand=P("data"),
+            g_q=P("data", None), g_key=P("data", None), g_read=P("data"),
+            n_gate=P("data"))
+        f = jax.shard_map(core, mesh=self.mesh,
+                          in_specs=(P(), *seg_specs, P("data", None),
+                                    P("data", None), P("data", None),
+                                    P("data", None), P("data"), P("data"),
+                                    *kmer_specs, *ispecs),
+                          out_specs=out_specs, check_vma=False)
+        jf = jax.jit(f)
+
+        def run(batch, md, tk=None, tl=None):
+            SL = batch["segs_rev"].shape[1]
+            args = [text_rows,
+                    batch["segs_rev"].reshape(n_seg, -1, SL),
+                    batch["seg_lens"].reshape(n_seg, -1),
+                    batch["seg_off"].reshape(n_seg, -1),
+                    batch["rw"], batch["nmask"], batch["vmask"],
+                    batch["seedmask"], batch["lens"], md]
+            if with_kmer:
+                args += [tk, tl, batch["kmer"].reshape(n_seg, -1),
+                         batch["kmer_ok"].reshape(n_seg, -1),
+                         batch["seg_short"].reshape(n_seg, -1)]
+            return jf(*args, *iargs)
+        return run

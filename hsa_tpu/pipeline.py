@@ -83,6 +83,30 @@ class Aligner:
         self._pigeon_jit = {}
         force_sync_mode()
 
+    @classmethod
+    def from_arrays(cls, di, text, meta: RefMeta | None = None,
+                    opt: AlnOpt | None = None, ladder=None,
+                    engine: str = "auto", index_dir: str | None = None):
+        """Construct from in-memory arrays (bench/tests): DeviceIndex +
+        int8 text (+ optional RefMeta; a single-sequence meta is synthesized
+        when omitted).  ``index_dir`` (optional) enables the on-disk K-mer
+        table cache."""
+        self = cls.__new__(cls)
+        self.index_dir = index_dir
+        self.opt = opt or AlnOpt()
+        self.ladder = ladder
+        self.engine = engine
+        self.di = di
+        self.meta = meta or RefMeta(
+            names=["seq0"], starts=np.zeros(1, np.int64),
+            lengths=np.asarray([len(text)], np.int64), total=len(text))
+        self.text = np.asarray(text, np.int8)
+        self.dev = di.as_jax()
+        self._text_rows = None
+        self._pigeon_jit = {}
+        force_sync_mode()
+        return self
+
     # -- pigeon fast path --------------------------------------------------
     _PIGEON_CAND_CAP = 16
     _PIGEON_MIN_SEG = 12
@@ -199,7 +223,8 @@ class Aligner:
                                      anchor_tail=pg.auto_anchor_tail(
                                          int(self.di.n), self._kmer_k))
         md = np.array([self.opt.diff_budget(int(L)) for L in both[1]], np.int32)
-        return self._pigeon_search_fn(n_seg)(batch, md)
+        from .search.pigeon import fetch_result
+        return fetch_result(self._pigeon_search_fn(n_seg)(batch, md))
 
     def pigeon_occurrences(self, reads, n_seg):
         """Pigeon search of reads (both strands): (occs[B], fallback[B])."""

@@ -604,6 +604,18 @@ def unpack_gap_key(key):
         (key & 0xF).astype(np.int64)
 
 
+def fetch_result(res: PigeonResult) -> PigeonResult:
+    """Overlapped device->host transfer of every result array.
+
+    Serial ``np.asarray`` per field pays one tunnel RTT each (~15 ms);
+    issuing all host copies async first overlaps them into ~one RTT.
+    """
+    for x in res:
+        if hasattr(x, "copy_to_host_async"):
+            x.copy_to_host_async()
+    return PigeonResult(*(np.asarray(x) for x in res))
+
+
 def pigeon_occurrences(res: PigeonResult, B: int, opt, cand_cap: int):
     """Host finalization (READS BACK): per-read deduped Occurrence lists.
 

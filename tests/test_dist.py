@@ -91,3 +91,69 @@ def test_data_axis_actually_shards(env):
     k, l, m = sidx.exact_fn()(jnp.asarray(rr), jnp.asarray(lens))
     # output sharded over data axis
     assert "data" in str(k.sharding.spec) or k.sharding.is_fully_replicated is False
+
+
+def test_sharded_pigeon_matches_single(env):
+    """The flagship pigeon engine on the sharded index == single-device,
+    including the gapped pool-2 results (occurrence-set equality)."""
+    from hsa_tpu import alphabet
+    from hsa_tpu.search import pigeon as pg
+
+    t, di, dev, mesh, sidx = env
+    rs = np.random.RandomState(7)
+    reads = reads_from(t, rs, 12, 60, mm=2)
+    # two reads with a planted deletion/insertion (exercise pool-2)
+    for kind in (0, 1):
+        p = rs.randint(0, len(t) - 70)
+        if kind:
+            r = np.concatenate([t[p:p + 30], t[p + 32:p + 62]])
+        else:
+            r = np.concatenate([t[p:p + 30], [1, 2], t[p + 30:p + 58]])
+        reads.append(r.astype(np.int8))
+    rc = [alphabet.revcomp(r) for r in reads]
+    both = list(reads) + rc
+    # pad lanes to a multiple of the data axis (2)
+    while len(both) % 2:
+        both.append(both[-1])
+    opt = AlnOpt(max_diff=2, max_gapo=1)
+    n_seg = 3
+    batch = pg.pack_pigeon_batch(both, n_seg=n_seg, seed_len=opt.seed_len)
+    md = np.full(len(both), 2, np.int32)
+    trows = jnp.asarray(pg.pack_text_rows(t))
+
+    r1 = pg.pigeon_search(
+        dev, trows, jnp.asarray(batch["segs_rev"]),
+        jnp.asarray(batch["seg_lens"]), jnp.asarray(batch["seg_off"]),
+        jnp.asarray(batch["rw"]), jnp.asarray(batch["nmask"]),
+        jnp.asarray(batch["vmask"]), jnp.asarray(batch["seedmask"]),
+        jnp.asarray(batch["lens"]), jnp.asarray(md), opt, n_seg=n_seg,
+        cand_cap=16)
+    r2 = sidx.pigeon_fn(opt, n_seg, trows, cand_cap=16)(batch, md)
+
+    for field in ("pos", "nmm", "valid", "fallback", "n_cand"):
+        np.testing.assert_array_equal(np.asarray(getattr(r1, field)),
+                                      np.asarray(getattr(r2, field)),
+                                      err_msg=field)
+    # gapped entries: pool-2 compaction order differs across data slices,
+    # so compare the per-lane occurrence SETS
+    def gap_sets(res, n_lanes):
+        out = {}
+        gr = np.asarray(res.g_read)
+        gk = np.asarray(res.g_key)
+        gq = np.asarray(res.g_q)
+        for i in np.nonzero(gr < n_lanes)[0]:
+            for s in range(gk.shape[1]):
+                if gk[i, s] != 0xFFFFFFFF:
+                    out.setdefault(int(gr[i]), set()).add(
+                        (int(gq[i, s]), int(gk[i, s])))
+        return out
+    assert gap_sets(r1, len(both)) == gap_sets(r2, len(both))
+    n_lanes = len(both)
+    occ1, fb1 = pg.pigeon_occurrences(r1, n_lanes // 2, opt, 16)
+    occ2, fb2 = pg.pigeon_occurrences(r2, n_lanes // 2, opt, 16)
+    assert (fb1 == fb2).all()
+    for a, b in zip(occ1, occ2):
+        assert [(o.pos, o.strand, o.score, o.nmm, o.ngapo, o.ngape)
+                for o in a] == \
+               [(o.pos, o.strand, o.score, o.nmm, o.ngapo, o.ngape)
+                for o in b]
