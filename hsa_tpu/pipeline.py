@@ -222,7 +222,9 @@ class Aligner:
                                      kmer_k=self._kmer_k,
                                      anchor_tail=pg.auto_anchor_tail(
                                          int(self.di.n), self._kmer_k))
-        md = np.array([self.opt.diff_budget(int(L)) for L in both[1]], np.int32)
+        budg = {L: self.opt.diff_budget(L)
+                for L in np.unique(both[1]).tolist()}
+        md = np.array([budg[int(L)] for L in both[1]], np.int32)
         from .search.pigeon import fetch_result
         return fetch_result(self._pigeon_search_fn(n_seg)(batch, md))
 

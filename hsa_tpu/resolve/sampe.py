@@ -137,10 +137,19 @@ def infer_isize(pairs_occs, lens1, lens2, max_isize: int):
 
 
 def _best_pair(occ1, occ2, L1, L2, mean, std, max_isize):
-    """Best proper FR combo or None; deterministic objective."""
+    """Best proper FR combo or None; deterministic objective.
+
+    Returns (key, o1, o2, ins, n_best, subo_score): ``n_best`` counts
+    FR-consistent combos at the best combined score and ``subo_score`` is
+    the second-best combined score (None if no other combo) — the inputs
+    of the paired-MAPQ adjustment (lineage: ``bwape.c:pairing``'s
+    ``o_n``/``subo_score``; docs/PARITY.md #11).
+    """
     limit = (mean + 4 * std) if mean is not None else max_isize
     lo = max(0.0, (mean - 4 * std)) if mean is not None else 0.0
     best = None
+    n_best = 0
+    subo = None
     for o1 in occ1:
         for o2 in occ2:
             if o1.strand == o2.strand:
@@ -149,11 +158,49 @@ def _best_pair(occ1, occ2, L1, L2, mean, std, max_isize):
             ins = _isize(of, Lf, orv, Lr)
             if ins <= 0 or ins > limit or ins < lo:
                 continue
+            sc = o1.score + o2.score
             dev = abs(ins - mean) if mean is not None else 0.0
-            key = (o1.score + o2.score, dev, of.pos)
-            if best is None or key < best[0]:
+            key = (sc, dev, of.pos)
+            if best is None or sc < best[0][0]:
+                if best is not None and best[0][0] != sc:
+                    subo = best[0][0]
                 best = (key, o1, o2, ins)
-    return best
+                n_best = 1
+            elif sc == best[0][0]:
+                n_best += 1
+                if key < best[0]:
+                    best = (key, o1, o2, ins)
+            elif subo is None or sc < subo:
+                subo = sc
+    return best if best is None else best + (n_best, subo)
+
+
+def pair_mapq(mapq1, mapq2, n_best, subo, best_sc, s_mm):
+    """Paired-MAPQ adjustment for a proper pair (docs/PARITY.md #11).
+
+    Pair quality ``mapQ_p``: 0 when the best pair is ambiguous; 29 when
+    no alternative pair exists; else scaled by the score margin to the
+    second-best pair.  Application rule (lineage ``bwape.c:pairing``
+    behavior, reconstructed from its documented OUTPUT property — SE
+    MAPQ caps at 37 but proper pairs from the lineage reach 60): a
+    confident end gains the pair quality, capped at 60; a repetitive
+    (MAPQ 0) end is boosted to min(mapQ_p + 7, mate's qual) — a
+    uniquely-paired end with a repetitive single-end hit set gets
+    paired quality.  Constants are lineage-style but unverifiable
+    against the empty mount; registered as deviation #11.
+    """
+    if n_best > 1:
+        mapq_p = 0
+    elif subo is None:
+        mapq_p = 29
+    else:
+        import math
+        mapq_p = min(23, int(4.343 * math.log1p((subo - best_sc) / s_mm)) + 17)
+    if mapq1 > 0 and mapq2 > 0:
+        return min(mapq1 + mapq_p, 60), min(mapq2 + mapq_p, 60)
+    q1 = mapq1 if mapq1 > 0 else min(mapq_p + 7, mapq2)
+    q2 = mapq2 if mapq2 > 0 else min(mapq_p + 7, mapq1)
+    return q1, q2
 
 
 def resolve_batch_pe(text, meta, reads1, reads2, names, quals1, quals2,
@@ -202,6 +249,7 @@ def resolve_pe_from_occurrences(text, meta, reads1, reads2, names, quals1,
 
     # ---- phase A: pairing decisions; defer rescues into a batch ----------
     choices = []       # per pair: [o1, o2, proper]
+    pair_stats = [None] * B   # (n_best, subo, best_sc) for proper pairs
     jobs = []          # (pair_idx, missing_end, anchor, read, L)
     rlim = int((mean + 4 * std) if mean is not None else peopt.max_isize)
     for j in range(B):
@@ -211,7 +259,8 @@ def resolve_pe_from_occurrences(text, meta, reads1, reads2, names, quals1,
         proper = False
         pair = _best_pair(w1[j], w2[j], L1, L2, mean, std, peopt.max_isize)
         if pair is not None:
-            _, o1, o2, _ = pair
+            _, o1, o2, _, n_best, subo = pair
+            pair_stats[j] = (n_best, subo, o1.score + o2.score)
             proper = True
         else:
             for occ, sel in ((occs1[j], 1), (occs2[j], 2)):
@@ -252,6 +301,27 @@ def resolve_pe_from_occurrences(text, meta, reads1, reads2, names, quals1,
         o1, o2, proper = choices[j]
         rescued = rescued_flags[j]
 
+        # single-end MAPQs for both ends, then the paired adjustment
+        # (docs/PARITY.md #11) for non-rescued proper pairs
+        end_mapq = [0, 0]
+        end_cc = [(0, 0, []), (0, 0, [])]
+        for endno, (L, o, occ) in enumerate(((L1, o1, occs1[j]),
+                                             (L2, o2, occs2[j]))):
+            if o is None:
+                continue
+            window = _window_occs(occ, opt.s_mm) if occ else []
+            c1 = min(sum(1 for x in window
+                         if x.score == (occ[0].score if occ else 0)), 256)
+            c2 = min(len(window) - c1, 256) if occ else 0
+            end_cc[endno] = (c1, c2, window)
+            if not rescued[endno]:
+                end_mapq[endno] = approx_mapq(c1 if occ else 1, c2, o.nmm,
+                                              opt.diff_budget(L))
+        if proper and pair_stats[j] is not None and not any(rescued):
+            n_best, subo, best_sc = pair_stats[j]
+            end_mapq[0], end_mapq[1] = pair_mapq(
+                end_mapq[0], end_mapq[1], n_best, subo, best_sc, opt.s_mm)
+
         for endno, (read, L, qual, o, o_mate, L_mate, occ, trunc) in enumerate((
                 (r1, L1, q1, o1, o2, L2, occs1[j], trunc1[j]),
                 (r2, L2, q2, o2, o1, L1, occs2[j], trunc2[j]))):
@@ -279,14 +349,9 @@ def resolve_pe_from_occurrences(text, meta, reads1, reads2, names, quals1,
             elif o_mate.strand:
                 flag |= F_MREV
 
-            window = _window_occs(occ, opt.s_mm) if occ else []
-            c1 = min(sum(1 for x in window if x.score == (occ[0].score if occ else 0)), 256)
-            c2 = min(len(window) - c1, 256) if occ else 0
+            c1, c2, window = end_cc[endno]
             was_rescued = rescued[endno]
-            if was_rescued:
-                mapq = 0
-            else:
-                mapq = approx_mapq(c1 if occ else 1, c2, o.nmm, opt.diff_budget(L))
+            mapq = 0 if was_rescued else end_mapq[endno]
             rec = _make_record(text, meta, read, name, qual, o, mapq, opt)
             rec.flag = flag  # replaces _make_record's 0/16 (strand folded in)
             if occ and not was_rescued:

@@ -168,3 +168,45 @@ def test_pe_record_parity_device_vs_oracle(pe_env):
     assert len(dev) == len(ora)
     for d, o in zip(dev, ora):
         assert d.to_sam() == o.to_sam(), (d.to_sam(), o.to_sam())
+
+
+def test_paired_mapq_boosts_repetitive_end():
+    """A repetitive end (MAPQ 0 alone) uniquely placed by its mate gets
+    the paired-MAPQ boost (PARITY.md #11)."""
+    import numpy as np
+    from hsa_tpu import alphabet
+    from hsa_tpu.config import AlnOpt, PEOpt
+    from hsa_tpu.io.fastx import RefMeta
+    from hsa_tpu.pipeline import oracle_align_pe
+
+    rs = np.random.RandomState(77)
+    rep = rs.randint(0, 4, 60).astype(np.int8)
+    parts = [rs.randint(0, 4, 400).astype(np.int8), rep,
+             rs.randint(0, 4, 1500).astype(np.int8), rep,
+             rs.randint(0, 4, 400).astype(np.int8)]
+    t = np.concatenate(parts)
+    meta = RefMeta(names=["c"], starts=np.zeros(1, np.int64),
+                   lengths=np.asarray([len(t)], np.int64), total=len(t))
+    opt = AlnOpt(max_diff=1, max_gapo=0)
+    # 8+ unique-unique training pairs so insert stats are available
+    reads1, reads2, names = [], [], []
+    for i in range(10):
+        p = rs.randint(0, len(t) - 260)
+        reads1.append(t[p:p + 60].copy())
+        reads2.append(alphabet.revcomp(t[p + 140:p + 200]))
+        names.append(f"t{i}")
+    # the interesting pair: end1 unique (before first repeat copy), end2 the
+    # repeat itself downstream in FR orientation at the trained insert (200)
+    p1 = 260   # insert = 460 - 260 = 200 matches the training pairs
+    reads1.append(t[p1:p1 + 60].copy())
+    reads2.append(alphabet.revcomp(t[400:460]))
+    names.append("boost")
+    recs = oracle_align_pe(t, meta, reads1, reads2, names,
+                           ["*"] * len(names), ["*"] * len(names), opt,
+                           PEOpt())
+    rec1, rec2 = recs[-2], recs[-1]
+    assert rec2.flag & 0x2, "pair must be proper"
+    assert rec2.tags.get("X0", 1) > 1 or rec2.tags.get("XT") == "R", \
+        (rec2.tags, "end2 must be repetitive")
+    assert rec2.mapq > 0, "repetitive end must be boosted by unique mate"
+    assert rec1.mapq > 0
