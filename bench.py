@@ -76,8 +76,9 @@ def get_index():
 def make_reads(text, n_genome):
     """BATCH reads planted with k=2 mismatches; half on the reverse strand
     (the production workload both-strand lanes must resolve)."""
+    from hsa_tpu.pipeline import ReadBatch
     rs = np.random.RandomState(1)
-    reads = []
+    mat = np.empty((BATCH, READ_LEN), np.uint8)
     for j in range(BATCH):
         p = rs.randint(0, n_genome - READ_LEN)
         r = np.asarray(text[p:p + READ_LEN]).copy()
@@ -86,8 +87,8 @@ def make_reads(text, n_genome):
             r[q] = (r[q] + rs.randint(1, 4)) % 4
         if j % 2:
             r = (3 - r)[::-1].copy()   # reverse strand
-        reads.append(r.astype(np.int8))
-    return reads
+        mat[j] = r
+    return ReadBatch(mat, np.full(BATCH, READ_LEN, np.int32))
 
 
 def main():
@@ -141,10 +142,15 @@ def main():
             recs = aligner.align(reads, read_offset=0)
             _ = len(recs)
 
-    # end-to-end timed loop: align() + SAM text per batch
+    # end-to-end timed loop: pipelined align_stream + SAM text per batch
+    # (same flow as `hsa-tpu align`: batch n+1's device work overlaps
+    # batch n's host resolution)
+    def batches():
+        for it in range(ITERS):
+            yield it * BATCH, None, reads, None
+
     t0 = time.time()
-    for it in range(ITERS):
-        recs = aligner.align(reads, read_offset=it * BATCH)
+    for _s, recs in aligner.align_stream(batches()):
         sam = "\n".join(r.to_sam() for r in recs)
     dt = (time.time() - t0) / ITERS
     assert len(sam) > 0

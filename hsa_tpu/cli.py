@@ -292,11 +292,18 @@ def _stream_batches(path, batch, trim_qual=0):
     """
     if any(path.endswith(s) for s in (".fq", ".fastq", ".fq.gz", ".fastq.gz")):
         from .io.fastq_fast import FastqBatcher
+        from .pipeline import ReadBatch
         s = 0
         for names, codes, lens, quals in FastqBatcher(path, batch=batch):
-            reads = [codes[i, :lens[i]] for i in range(len(names))]
-            reads, quals = _apply_trim(reads, quals, trim_qual)
-            yield s, names, reads, quals
+            lens = np.asarray(lens, np.int32)
+            if trim_qual >= 1:
+                from .io.fastx import trim_read_length
+                tl = np.fromiter((trim_read_length(q, trim_qual)
+                                  for q in quals), np.int32, len(quals))
+                lens = np.minimum(lens, tl)
+                quals = [q[:l] if q and q != "*" else q
+                         for q, l in zip(quals, lens.tolist())]
+            yield s, names, ReadBatch(codes, lens), quals
             s += len(names)
     else:
         names, reads, quals = _load_reads(path)
@@ -340,38 +347,62 @@ def cmd_align(argv):
         out.write(sam_header(al.meta, "align"))
     if done:
         met.log(f"resuming at read {done}")
-    profiled = False
-    # Streaming single-phase loop: each batch is searched, resolved, and
-    # written before the next one starts — host RSS and device HBM stay
-    # bounded regardless of input size.  (The round-1 "two-phase, no
-    # readback" flow was built on a disproven timing model; honest
-    # measurement shows per-batch sync is the fast regime.)
+    # Streaming single-phase flow: each batch is searched, resolved, and
+    # written in input order — host RSS and device HBM stay bounded
+    # regardless of input size.  The default path is PIPELINED
+    # (Aligner.align_stream): batch n+1's pack/search/fetch overlaps
+    # batch n's host resolution.  --profile falls back to the sequential
+    # loop so the trace captures one isolated batch.
     total = 0
-    for s, bn, br, bq in _stream_batches(a.reads, a.batch,
-                                         getattr(a, "trim_qual", 0)):
-        total = s + len(br)
-        if total <= done:
-            continue
-        if a.profile and not profiled:
-            import jax
-            profiled = True
-            with jax.profiler.trace(a.profile):
-                recs = al.align(br, bn, bq, read_offset=s,
-                                beam_width=a.beam_width,
-                                sopt=SamseOpt(n_multi=a.n_multi))
-            met.log(f"profiler trace written to {a.profile}")
-        else:
-            with met.timer("align"):
-                recs = al.align(br, bn, bq, read_offset=s,
-                                beam_width=a.beam_width,
-                                sopt=SamseOpt(n_multi=a.n_multi))
-        met.note_batch(len(br), recs, al.last_overflow)
-        with met.timer("write"):
-            for r in recs:
-                out.write(r.to_sam() + "\n")
-            out.flush()
-        _save_manifest(a.out, args_key, total, -1)
-        met.log(f"align {total} reads")
+    if a.profile:
+        profiled = False
+        for s, bn, br, bq in _stream_batches(a.reads, a.batch,
+                                             getattr(a, "trim_qual", 0)):
+            total = s + len(br)
+            if total <= done:
+                continue
+            if not profiled:
+                import jax
+                profiled = True
+                with jax.profiler.trace(a.profile):
+                    recs = al.align(br, bn, bq, read_offset=s,
+                                    beam_width=a.beam_width,
+                                    sopt=SamseOpt(n_multi=a.n_multi))
+                met.log(f"profiler trace written to {a.profile}")
+            else:
+                with met.timer("align"):
+                    recs = al.align(br, bn, bq, read_offset=s,
+                                    beam_width=a.beam_width,
+                                    sopt=SamseOpt(n_multi=a.n_multi))
+            met.note_batch(len(br), recs, al.last_overflow)
+            with met.timer("write"):
+                for r in recs:
+                    out.write(r.to_sam() + "\n")
+                out.flush()
+            _save_manifest(a.out, args_key, total, -1)
+            met.log(f"align {total} reads")
+    else:
+        def todo():
+            for s, bn, br, bq in _stream_batches(a.reads, a.batch,
+                                                 getattr(a, "trim_qual", 0)):
+                if s + len(br) > done:
+                    yield s, bn, br, bq
+        stream = iter(al.align_stream(todo(), beam_width=a.beam_width,
+                                      sopt=SamseOpt(n_multi=a.n_multi)))
+        while True:
+            with met.timer("align"):   # wall per batch incl. overlap wait
+                item = next(stream, None)
+            if item is None:
+                break
+            s, recs = item
+            total = s + len(recs)
+            met.note_batch(len(recs), recs, al.last_overflow)
+            with met.timer("write"):
+                for r in recs:
+                    out.write(r.to_sam() + "\n")
+                out.flush()
+            _save_manifest(a.out, args_key, total, -1)
+            met.log(f"align {total} reads")
     if a.out:
         out.close()
     s = met.dump(a.metrics)

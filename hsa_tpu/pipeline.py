@@ -24,6 +24,58 @@ from .io.fastx import RefMeta, load_reference
 from .resolve.samse import resolve_batch_se
 
 
+class ReadBatch:
+    """Matrix-backed read batch: codes uint8 [B, Lmax] + lens int32 [B].
+
+    Replaces list-of-arrays batches on the hot path so packing and
+    resolution work matrix-to-matrix (no 65K-iteration Python copy
+    loops).  Indexing returns the j-th read's code view, so every
+    list-based consumer keeps working.
+    """
+
+    __slots__ = ("mat", "lens")
+
+    def __init__(self, mat, lens):
+        self.mat = np.asarray(mat, np.uint8)
+        self.lens = np.asarray(lens, np.int32)
+
+    @classmethod
+    def from_reads(cls, reads):
+        if isinstance(reads, ReadBatch):
+            return reads
+        B = len(reads)
+        Lmax = max((len(r) for r in reads), default=1)
+        mat = np.full((B, max(Lmax, 1)), 5, np.uint8)
+        lens = np.zeros(B, np.int32)
+        for j, r in enumerate(reads):
+            mat[j, :len(r)] = np.asarray(r, np.uint8)
+            lens[j] = len(r)
+        return cls(mat, lens)
+
+    def __len__(self):
+        return self.mat.shape[0]
+
+    def __getitem__(self, j):
+        return self.mat[j, :self.lens[j]].astype(np.int8)
+
+    def __iter__(self):
+        return (self[j] for j in range(len(self)))
+
+    def subset(self, idx):
+        idx = np.asarray(idx, np.int64)
+        return ReadBatch(self.mat[idx], self.lens[idx])
+
+    def padded(self, Lmax=None):
+        """(mat, lens) with columns >= lens set to PAD(5)."""
+        m = self.mat
+        if Lmax is not None and m.shape[1] < Lmax:
+            m = np.pad(m, ((0, 0), (0, Lmax - m.shape[1])),
+                       constant_values=5)
+        t = np.arange(m.shape[1])[None, :]
+        return np.where(t < self.lens[:, None], m, 5).astype(np.uint8), \
+            self.lens
+
+
 def force_sync_mode():
     """Put the backend into its synchronous execution regime.
 
@@ -177,11 +229,12 @@ class Aligner:
 
             @jax.jit
             def core(arrs, trows, segs_rev, seg_lens, seg_off, rw, nmask,
-                     vmask, seedmask, lens, md, *seed):
+                     lens, md, *seed):
                 idx = join_idx(meta, arrs)
                 B2 = lens.shape[0]
+                # vmask/seedmask derived on device (saves 2 uploads/batch)
                 return pg.pigeon_search(idx, trows, segs_rev, seg_lens,
-                                        seg_off, rw, nmask, vmask, seedmask,
+                                        seg_off, rw, nmask, None, None,
                                         lens, md, opt, n_seg=n_seg,
                                         cand_cap=CC, gpool=2 * B2,
                                         kmer_seed=seed if seed else None)
@@ -195,21 +248,18 @@ class Aligner:
                             jnp.asarray(b["kmer_ok"]),
                             jnp.asarray(b["seg_short"]))
                 return core(arrays, trows, b["segs_rev"], b["seg_lens"],
-                            b["seg_off"], b["rw"], b["nmask"], b["vmask"],
-                            b["seedmask"], b["lens"], md, *seed)
+                            b["seg_off"], b["rw"], b["nmask"],
+                            b["lens"], md, *seed)
             self._pigeon_jit[key] = f
         return f
 
     def _pigeon_raw(self, reads, n_seg):
-        """Pack both strands, run the device pigeon search -> PigeonResult."""
+        """Pack both strands, run the device pigeon search -> PigeonResult
+        (host arrays; the fetch overlaps its transfers)."""
         from .search import pigeon as pg
-        B = len(reads)
-        Lmax = max(len(r) for r in reads)
-        Rf = np.full((B, Lmax), 5, np.uint8)
-        lens = np.zeros(B, np.int32)
-        for j, r in enumerate(reads):
-            Rf[j, :len(r)] = np.asarray(r, np.uint8)
-            lens[j] = len(r)
+        rb = ReadBatch.from_reads(reads)
+        Rf, lens = rb.padded()
+        Lmax = Rf.shape[1]
         # vectorized reverse-complement lanes (comp of 0..3; N/PAD carried)
         t = np.arange(Lmax)[None, :]
         cols = np.clip(lens[:, None] - 1 - t, 0, max(Lmax - 1, 0))
@@ -221,7 +271,8 @@ class Aligner:
                                      seed_len=self.opt.seed_len,
                                      kmer_k=self._kmer_k,
                                      anchor_tail=pg.auto_anchor_tail(
-                                         int(self.di.n), self._kmer_k))
+                                         int(self.di.n), self._kmer_k),
+                                     device_masks=True)
         budg = {L: self.opt.diff_budget(L)
                 for L in np.unique(both[1]).tolist()}
         md = np.array([budg[int(L)] for L in both[1]], np.int32)
@@ -258,7 +309,8 @@ class Aligner:
                 raise ValueError("pigeon engine requires max_gapo <= 1 "
                                  f"(got {self.opt.max_gapo})")
             return None, []
-        lens = [len(r) for r in reads]
+        lens = (reads.lens.tolist() if isinstance(reads, ReadBatch)
+                else [len(r) for r in reads])
         budg = {L: self.opt.diff_budget(L) for L in set(lens)}
         elig = [i for i, L in enumerate(lens)
                 if L <= MAX_READ_LEN
@@ -328,24 +380,44 @@ class Aligner:
     # -- full pipeline -----------------------------------------------------
     def align(self, reads, names=None, quals=None, *, read_offset: int = 0,
               beam_width=None, max_hits=32, sopt: SamseOpt | None = None):
-        """reads: list of int8 code arrays -> list of AlnRecord.
+        """reads: ReadBatch or list of int8 code arrays -> list of AlnRecord.
 
         Per-read engine routing (engine="auto"): pigeon-eligible reads
         take the seed-and-verify fast path; ineligible reads and pigeon
         fallbacks re-run on the beam ladder, and the two hit sources
         merge into one flat occurrence-array resolution pass.
         """
-        n_seg, elig = self._pigeon_split(reads)
+        h = self._align_device(reads, beam_width=beam_width,
+                               max_hits=max_hits)
+        return self._align_finish(h, names, quals, read_offset=read_offset,
+                                  sopt=sopt, beam_width=beam_width,
+                                  max_hits=max_hits)
+
+    def _align_device(self, reads, *, beam_width=None, max_hits=32):
+        """Phase A: pack + device search (+ result fetch) for one batch."""
+        rb = ReadBatch.from_reads(reads)
+        n_seg, elig = self._pigeon_split(rb)
         if n_seg is None:
-            h = self.search_batch_device(reads, beam_width=beam_width,
+            h = self.search_batch_device(rb, beam_width=beam_width,
                                          max_hits=max_hits)
-            return self.resolve_handle(h, reads, names, quals,
-                                       read_offset=read_offset, sopt=sopt)
+            return ("beam", rb, h)
+        sub = rb.subset(elig) if len(elig) < len(rb) else rb
+        res = self._pigeon_raw(sub, n_seg)
+        return ("pigeon", rb, elig, sub, res)
+
+    def _align_finish(self, handle, names, quals, *, read_offset: int = 0,
+                      sopt=None, beam_width=None, max_hits=32):
+        """Phase B: finalize + (rare) beam fallback + record resolution."""
         from .resolve.samse import collect_occurrences, resolve_from_occ_arrays
-        from .search.pigeon import occ_lists_to_arrays
-        B = len(reads)
-        sub = [reads[i] for i in elig]
-        occ, fb = self.pigeon_occ_arrays(sub, n_seg)
+        from .search import pigeon as pg
+        if handle[0] == "beam":
+            _, rb, h = handle
+            return self.resolve_handle(h, rb, names, quals,
+                                       read_offset=read_offset, sopt=sopt)
+        _, rb, elig, sub, res = handle
+        B = len(rb)
+        occ, fb = pg.pigeon_occ_arrays(res, len(sub), self.opt,
+                                       self._PIGEON_CAND_CAP)
         emap = np.asarray(elig, np.int64)
         occ["rid"] = emap[occ["rid"]]
         inelig = sorted(set(range(B)) - set(elig))
@@ -356,7 +428,7 @@ class Aligner:
         ld = np.zeros(B, np.int32)
         hd = np.zeros(B, np.int32)
         if fb_ids:
-            bsub = [reads[j] for j in fb_ids]
+            bsub = [rb[j] for j in fb_ids]
             hf, hr = self.search_batch(bsub, beam_width=beam_width,
                                        max_hits=max_hits, ladder=self.ladder)
             sub_occs, sub_trunc = collect_occurrences(hf, hr, self.locate_fn)
@@ -366,7 +438,7 @@ class Aligner:
                 truncated[j] = sub_trunc[i]
                 ld[j] = max(sld[i], sld[half + i] if len(sld) > half else 0)
                 hd[j] = max(shd[i], shd[half + i] if len(shd) > half else 0)
-            socc = occ_lists_to_arrays(sub_occs)
+            socc = pg.occ_lists_to_arrays(sub_occs)
             fmap = np.asarray(fb_ids, np.int64)
             socc["rid"] = fmap[socc["rid"]] if socc["rid"].size else socc["rid"]
             occ = {k: np.concatenate([occ[k], socc[k]]) for k in occ}
@@ -374,10 +446,41 @@ class Aligner:
                                 occ["rid"]))
             occ = {k: v[order] for k, v in occ.items()}
         self.last_overflow = (ld, hd)
-        names = names or [f"read{read_offset + i}" for i in range(len(reads))]
-        return resolve_from_occ_arrays(self.text, self.meta, reads, names,
+        names = names or [f"read{read_offset + i}" for i in range(B)]
+        return resolve_from_occ_arrays(self.text, self.meta, rb, names,
                                        quals, occ, truncated, self.opt,
                                        sopt, read_offset=read_offset)
+
+    def align_stream(self, batches, *, beam_width=None, max_hits=32,
+                     sopt: SamseOpt | None = None):
+        """Pipelined alignment over (start, names, reads, quals) batches.
+
+        Batch n+1's host pack + device search + result fetch runs on a
+        worker thread while the main thread resolves batch n's records —
+        numpy and the jax dispatch/transfer paths release the GIL in
+        their C regions, so device and host work genuinely overlap.
+        Yields (start, records) in input order.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(max_workers=1)
+        try:
+            prev = None
+            for s, bn, br, bq in batches:
+                fut = ex.submit(self._align_device, br,
+                                beam_width=beam_width, max_hits=max_hits)
+                if prev is not None:
+                    ps, pn, pq, pfut = prev
+                    yield ps, self._align_finish(
+                        pfut.result(), pn, pq, read_offset=ps, sopt=sopt,
+                        beam_width=beam_width, max_hits=max_hits)
+                prev = (s, bn, bq, fut)
+            if prev is not None:
+                ps, pn, pq, pfut = prev
+                yield ps, self._align_finish(
+                    pfut.result(), pn, pq, read_offset=ps, sopt=sopt,
+                    beam_width=beam_width, max_hits=max_hits)
+        finally:
+            ex.shutdown(wait=True)
 
     def resolve_handle(self, handle, reads, names=None, quals=None, *,
                        read_offset: int = 0, sopt: SamseOpt | None = None):

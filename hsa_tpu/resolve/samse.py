@@ -260,7 +260,9 @@ def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
     """
     sopt = sopt or SamseOpt()
     B = len(reads)
-    lens = np.fromiter((len(r) for r in reads), np.int64, B)
+    is_rb = hasattr(reads, "mat") and hasattr(reads, "lens")  # ReadBatch
+    lens = (np.asarray(reads.lens, np.int64) if is_rb
+            else np.fromiter((len(r) for r in reads), np.int64, B))
     rid = np.asarray(occ["rid"], np.int64)
     pos = np.asarray(occ["pos"], np.int64)
     strand = np.asarray(occ["strand"], np.int8)
@@ -286,9 +288,14 @@ def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
 
     # read/strand matrices + decoded strings (one pass, C-speed per row)
     Lmax = max(int(lens.max()) if B else 1, 1)
-    rdmat = np.full((B, Lmax), 4, np.uint8)
-    for j, r in enumerate(reads):
-        rdmat[j, :lens[j]] = np.asarray(r, np.uint8)
+    if is_rb:
+        t = np.arange(Lmax)
+        rdmat = np.where(t[None, :] < lens[:, None],
+                         reads.mat[:, :Lmax], 4).astype(np.uint8)
+    else:
+        rdmat = np.full((B, Lmax), 4, np.uint8)
+        for j, r in enumerate(reads):
+            rdmat[j, :lens[j]] = np.asarray(r, np.uint8)
     t = np.arange(Lmax)
     cols = np.clip(lens[:, None] - 1 - t[None, :], 0, Lmax - 1)
     rcmat = np.take_along_axis(rdmat, cols, axis=1)
@@ -385,18 +392,44 @@ def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
         psi = np.searchsorted(meta.starts, p_pos, side="right") - 1
         p_off1 = p_pos - meta.starts[np.clip(psi, 0, len(meta.starts) - 1)] + 1
 
+    # one-shot conversion to Python scalars: the record loop below runs
+    # ~25 per-record indexings, and numpy scalar indexing is ~10x the
+    # cost of list indexing (measured: dominates batch resolution time)
+    lens_l = lens.tolist()
+    g_of_l = g_of_read.tolist()
+    if rid.size:
+        p_str_l = p_str.tolist()
+        mapq_l = mapq_grp.tolist()
+        p_nmm_l = p_nmm.tolist()
+        p_pos_l = p_pos.tolist()
+        p_go_l = p_go.tolist()
+        p_ge_l = p_ge.tolist()
+        c1_l = c1.tolist()
+        c2_l = c2.tolist()
+        nwin_l = nwin.tolist()
+        grp_first_l = grp_first.tolist()
+        grp_cnt_l = grp_cnt.tolist()
+        pick_idx_l = pick_idx.tolist()
+        pick_sc_l = score[pick_idx].tolist()
+        off1_l = p_off1.tolist()
+        rname_l = [meta.names[i] for i in psi.tolist()]
+        wmask_l = wmask.tolist()
+    mmrows_l = {j: v.tolist() for j, v in mm_rows.items()}
+    winmm_l = {j: win_of[j][mm_rows[j]].tolist() for j in mm_rows}
+
     records = []
     md_lut = "ACGTN"
+    has_amb = bool(meta.amb_runs)
     for j in range(B):
-        L = int(lens[j])
+        L = lens_l[j]
         name = names[j]
         qual = quals[j] if quals else "*"
-        gidx = int(g_of_read[j])
+        gidx = g_of_l[j]
         if gidx < 0:
             seq_fwd = fwd_chars[j, :L].tobytes().decode()
             records.append(AlnRecord(name, 4, "*", 0, 0, "*", seq_fwd, qual))
             continue
-        st = int(p_str[gidx])
+        st = p_str_l[gidx]
         if st:
             seq = rc_chars[j, :L].tobytes().decode()
             q = qual[::-1] if qual and qual != "*" else qual
@@ -405,41 +438,41 @@ def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
             seq = fwd_chars[j, :L].tobytes().decode()
             q = qual
             flag = 0
-        mapq = int(mapq_grp[gidx])
-        if j in nm_of:
+        mapq = mapq_l[gidx]
+        nm_j = nm_of.get(j)
+        if nm_j is not None:
             # ungapped: "LM" CIGAR, MD from mismatch positions
             parts = []
             prev = 0
-            win = win_of[j]
-            for col in mm_rows[j]:
-                parts.append(str(int(col) - prev))
-                parts.append(md_lut[min(int(win[col]), 4)])
-                prev = int(col) + 1
+            for col, wc in zip(mmrows_l[j], winmm_l[j]):
+                parts.append(str(col - prev))
+                parts.append(md_lut[wc if wc < 4 else 4])
+                prev = col + 1
             parts.append(str(L - prev))
-            rname = meta.names[int(psi[gidx])]
-            rec = AlnRecord(name, flag, rname, int(p_off1[gidx]), mapq,
+            rec = AlnRecord(name, flag, rname_l[gidx], off1_l[gidx], mapq,
                             f"{L}M", seq, q)
-            rec.tags.update(NM=nm_of[j], MD="".join(parts),
-                            XM=int(p_nmm[gidx]), XO=0, XG=0)
-            xn = xn_of.get(j, 0) if meta.amb_runs else 0
-            if xn:
-                rec.tags["XN"] = xn
+            rec.tags.update(NM=nm_j, MD="".join(parts),
+                            XM=p_nmm_l[gidx], XO=0, XG=0)
+            if has_amb:
+                xn = xn_of.get(j, 0)
+                if xn:
+                    rec.tags["XN"] = xn
         else:
-            o = Occurrence(int(p_pos[gidx]), st, int(score[pick_idx[gidx]]),
-                           int(p_nmm[gidx]), int(p_go[gidx]), int(p_ge[gidx]))
+            o = Occurrence(p_pos_l[gidx], st, pick_sc_l[gidx],
+                           p_nmm_l[gidx], p_go_l[gidx], p_ge_l[gidx])
             rec = _make_record(text, meta, reads[j], name, qual, o, mapq, opt)
-        rec.tags["XT"] = "U" if c1[gidx] == 1 else "R"
-        rec.tags["X0"] = int(c1[gidx])
+        rec.tags["XT"] = "U" if c1_l[gidx] == 1 else "R"
+        rec.tags["X0"] = c1_l[gidx]
         if not truncated[j]:
-            rec.tags["X1"] = int(c2[gidx])
+            rec.tags["X1"] = c2_l[gidx]
         # XA alternates
-        nw, nb = int(nwin[gidx]), int(nbest[gidx])
-        if 1 < nw <= sopt.n_multi + 1 or (c1[gidx] == 1
-                                          and 0 < c2[gidx] <= sopt.n_multi):
-            s0, s1 = int(grp_first[gidx]), int(grp_first[gidx] + grp_cnt[gidx])
+        nw = nwin_l[gidx]
+        if 1 < nw <= sopt.n_multi + 1 or (c1_l[gidx] == 1
+                                          and 0 < c2_l[gidx] <= sopt.n_multi):
+            s0, s1 = grp_first_l[gidx], grp_first_l[gidx] + grp_cnt_l[gidx]
             parts = []
             for oi in range(s0, s1):
-                if oi == pick_idx[gidx] or not wmask[oi]:
+                if oi == pick_idx_l[gidx] or not wmask_l[oi]:
                     continue
                 if len(parts) >= sopt.n_multi:
                     break

@@ -129,7 +129,7 @@ def max_gap_run(opt, n_seg: int) -> int:
 
 def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
                       seed_len: int = 32, kmer_k: int = 0,
-                      anchor_tail: int = 6):
+                      anchor_tail: int = 6, device_masks: bool = False):
     """Host-side packing for the pigeon engine.
 
     reads: list of int8/uint8 code arrays (codes 0..4; 4 = N).
@@ -240,15 +240,21 @@ def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
                            .astype(np.uint32)
 
     rw = packbits(np.where(inlen, codes, 0))
-    vmask = packbits(inlen.astype(np.uint32))
     nmask = packbits((isn & inlen).astype(np.uint32))
-    seedmask = packbits((inlen & (t[None, :] >=
-                                  np.maximum(Lv - seed_len, 0))).astype(np.uint32))
-    return dict(segs_rev=segs_rev.reshape(n_seg * B, SL),
-                seg_lens=seg_lens.reshape(-1), seg_off=seg_off.reshape(-1),
-                kmer=kmer.reshape(-1), kmer_ok=kmer_ok.reshape(-1),
-                seg_short=seg_short.reshape(-1),
-                rw=rw, nmask=nmask, vmask=vmask, seedmask=seedmask, lens=lens)
+    out = dict(segs_rev=segs_rev.reshape(n_seg * B, SL),
+               seg_lens=seg_lens.reshape(-1), seg_off=seg_off.reshape(-1),
+               kmer=kmer.reshape(-1), kmer_ok=kmer_ok.reshape(-1),
+               seg_short=seg_short.reshape(-1),
+               rw=rw, nmask=nmask, lens=lens)
+    if not device_masks:
+        # vmask/seedmask are pure functions of (lens, seed_len);
+        # device_masks=True derives them on device instead (saves two
+        # packbits passes here and two array uploads per batch)
+        out["vmask"] = packbits(inlen.astype(np.uint32))
+        out["seedmask"] = packbits(
+            (inlen & (t[None, :] >=
+                      np.maximum(Lv - seed_len, 0))).astype(np.uint32))
+    return out
 
 
 def _selectn(words, idx):
@@ -309,6 +315,21 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
     # rows per window fetch: select indices reach ws(<=7) + DW + 1
     NR = (DW + 16) // 8
     n = jnp.uint32(idx.n)
+
+    if vmask is None or seedmask is None:
+        # device-derived masks: pure functions of (lens, opt.seed_len);
+        # bit-identical to pack_pigeon_batch's host packbits
+        def pair_mask(k):   # PAT-patterned pairs at positions < k (k in [0,16])
+            sh_ = (U32(2) * (U32(16) - jnp.clip(k, 1, 16).astype(U32)))
+            return jnp.where(k > 0, U32(_PAT) >> sh_, U32(0))
+        tw = jnp.arange(RW, dtype=I32)[None, :]
+        rem = jnp.clip(lens[:, None] - 16 * tw, 0, 16)
+        if vmask is None:
+            vmask = pair_mask(rem)
+        if seedmask is None:
+            sstart = jnp.maximum(lens - opt.seed_len, 0)
+            lo = jnp.clip(sstart[:, None] - 16 * tw, 0, 16)
+            seedmask = pair_mask(rem) & ~pair_mask(lo)
 
     # 1. anchor: lockstep exact search of all segments
     short_fb = jnp.zeros(B, bool)
@@ -429,15 +450,16 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
     pvalid = (pvalid & (pnmm <= pmd)
               & (seed_f.astype(I32) <= opt.max_seed_diff))
 
-    # 6. scatter pool back to read-major slots (fill index B*CC drops)
+    # 6. scatter pool back to read-major slots (fill index B*CC drops);
+    # nmm rides back as uint8 (reads <= 160bp) to shrink the readback
     pos_o = jnp.zeros(B * CC, U32).at[cidx].set(jnp.where(pvalid, pstart, U32(0)))
-    nmm_o = jnp.zeros(B * CC, I32).at[cidx].set(pnmm)
+    nmm_o = jnp.zeros(B * CC, jnp.uint8).at[cidx].set(pnmm.astype(jnp.uint8))
     val_o = jnp.zeros(B * CC, bool).at[cidx].set(pvalid)
 
     # 7. gapped verify (G > 0): pool-2 screen of one-run gap placements
     if G > 0:
         v2 = val_o.reshape(B, CC)
-        n2 = jnp.where(v2, nmm_o.reshape(B, CC), _BIGNMM)
+        n2 = jnp.where(v2, nmm_o.reshape(B, CC).astype(I32), _BIGNMM)
         best_sc = n2.min(axis=1) * opt.s_mm
         # gapped records can only enter the reporting window when the
         # lane's best ungapped score admits them (or no ungapped hit)
