@@ -236,7 +236,7 @@ class Aligner:
                 return pg.pigeon_search(idx, trows, segs_rev, seg_lens,
                                         seg_off, rw, nmask, None, None,
                                         lens, md, opt, n_seg=n_seg,
-                                        cand_cap=CC, gpool=2 * B2,
+                                        cand_cap=CC, gpool=B2,
                                         kmer_seed=seed if seed else None)
 
             def f(b, md):

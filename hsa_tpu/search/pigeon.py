@@ -629,9 +629,15 @@ def unpack_gap_key(key):
 def fetch_result(res: PigeonResult) -> PigeonResult:
     """Overlapped device->host transfer of every result array.
 
-    Serial ``np.asarray`` per field pays one tunnel RTT each (~15 ms);
-    issuing all host copies async first overlaps them into ~one RTT.
+    A TINY sync readback goes first: on the axon backend, async host
+    copies issued against still-executing outputs land in the slow
+    queued regime (~490 ms/batch measured); one scalar readback forces
+    the execution to complete in the fast sync mode, after which the
+    fat copies are pure transfers.  They are issued async so the
+    per-array tunnel RTTs (~15 ms each) overlap.
     """
+    if hasattr(res.n_gate, "copy_to_host_async"):
+        np.asarray(res.n_gate)          # sync point (scalar)
     for x in res:
         if hasattr(x, "copy_to_host_async"):
             x.copy_to_host_async()
