@@ -1,9 +1,14 @@
 """Alignment accuracy evaluation (wgsim-style, SURVEY.md §4 validation).
 
 Simulates reads with known origins (mismatches + indels at set rates),
-runs the full single-end pipeline, and reports placement accuracy overall
-and at MAPQ>=20 — the external-validation methodology the reference
+runs the full single-end PRODUCTION pipeline (pigeon + gapped verify +
+beam fallback via Aligner), and reports placement accuracy overall and
+at MAPQ>=20 — the external-validation methodology the reference
 lineage's publications used, since the repo itself ships no tests.
+
+HSA_BENCH_GENOME_MODEL=repeats runs the repeat-structured genome model
+(Alu-like families, segmental duplications, tandem repeats) that
+stresses multi-hit and fallback behavior the i.i.d. model cannot.
 """
 
 import os
@@ -13,23 +18,24 @@ from common import cached_index, report, setup_jax
 
 N = int(os.environ.get("HSA_BENCH_ACC_BP", "16000000"))
 B = int(os.environ.get("HSA_BENCH_ACC_READS", "2000"))
+MODEL = os.environ.get("HSA_BENCH_GENOME_MODEL", "iid")
 L = 100
 
 
 def main():
-    jax = setup_jax()
+    setup_jax()
     from hsa_tpu import alphabet
     from hsa_tpu.config import AlnOpt
-    from hsa_tpu.index.layout import DeviceIndex
-    from hsa_tpu.io.fastx import RefMeta
-    from hsa_tpu.resolve.samse import resolve_batch_se
-    from hsa_tpu.search.beam import align_batch
+    from hsa_tpu.pipeline import Aligner
 
-    di, text = cached_index(f"acc_{N // 1_000_000}M", N)
-    dev = di.as_jax()
-    meta = RefMeta(names=["sim"], starts=np.array([0]),
-                   lengths=np.array([N]), total=N)
+    di, text = cached_index(f"acc_{N // 1_000_000}M", N, model=MODEL)
+    text = np.asarray(text, np.int8)
     opt = AlnOpt(max_diff=2)
+    kdir = os.path.join(os.path.expanduser("~/.cache/hsa_tpu_bench"),
+                        f"idxdir_acc_{N // 1_000_000}M_{MODEL}")
+    os.makedirs(kdir, exist_ok=True)
+    al = Aligner.from_arrays(di, text, opt=opt, ladder=[8, 64, 512],
+                             engine="auto", index_dir=kdir)
 
     rs = np.random.RandomState(11)
     reads, truth = [], []
@@ -52,19 +58,7 @@ def main():
         reads.append(r.astype(np.int8))
         truth.append(p)
 
-    import jax.numpy as jnp
-    rc = [alphabet.revcomp(r) for r in reads]
-    hits, _ = align_batch(dev, list(reads) + rc, opt, ladder=(8, 64, 512),
-                          max_hits=16)
-    from hsa_tpu.search import fm as _fm
-    from hsa_tpu.search.jitcache import jit_over_idx
-    lfn = jit_over_idx(dev, _fm.locate)
-    recs = resolve_batch_se(text if isinstance(text, np.ndarray) else
-                            np.asarray(text),
-                            meta, reads, [f"r{j}" for j in range(B)], None,
-                            hits[:B], hits[B:],
-                            lambda r: np.asarray(lfn(jnp.asarray(r, jnp.uint32))),
-                            opt)
+    recs = al.align(reads, read_offset=0)
     ok = ok20 = n20 = mapped = 0
     for j, rec in enumerate(recs):
         if rec.flag & 4:
@@ -76,8 +70,9 @@ def main():
             n20 += 1
             ok20 += correct
     report("accuracy_correct_frac", ok / max(mapped, 1), "fraction",
-           reads=B, mapped=mapped,
+           reads=B, mapped=mapped, genome_model=MODEL,
            mapped_frac=round(mapped / B, 4),
+           fallback_frac=round(getattr(al, "last_fallback_frac", 0.0), 4),
            mapq20_n=n20, mapq20_correct=round(ok20 / max(n20, 1), 4))
 
 

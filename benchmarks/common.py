@@ -87,17 +87,18 @@ def synth_genome(n: int, model: str = "iid", seed: int = 7) -> np.ndarray:
 
 
 def cached_index(name: str, n: int, seed: int = 7, sa_intv: int = 32,
-                 with_reverse: bool = True):
+                 with_reverse: bool = True, model: str = "iid"):
     from hsa_tpu.index.layout import DeviceIndex, build_device_index
     os.makedirs(CACHE, exist_ok=True)
-    ip = os.path.join(CACHE, f"{name}.npz")
-    tp = os.path.join(CACHE, f"{name}_txt.npy")
+    tag = "" if model == "iid" else f"_{model}"
+    ip = os.path.join(CACHE, f"{name}{tag}.npz")
+    tp = os.path.join(CACHE, f"{name}{tag}_txt.npy")
     if os.path.exists(ip) and os.path.exists(tp):
         try:
             return DeviceIndex.load(ip), np.load(tp, mmap_mode="r")
         except ValueError:
             pass  # stale layout: rebuild
-    t = np.random.RandomState(seed).randint(0, 4, n).astype(np.int8)
+    t = synth_genome(n, model, seed=seed)
     di = build_device_index(t, sa_intv=sa_intv, with_reverse=with_reverse)
     di.save(ip)
     np.save(tp, t)

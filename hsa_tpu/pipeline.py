@@ -227,37 +227,58 @@ class Aligner:
             trows = self._text_rows
             with_kmer = self._kmer_k > 0
 
-            @jax.jit
-            def core(arrs, trows, segs_rev, seg_lens, seg_off, rw, nmask,
-                     lens, md, *seed):
+            import functools
+
+            @functools.partial(jax.jit, static_argnums=(0,))
+            def core(shape, arrs, trows, buf, *tabs):
                 idx = join_idx(meta, arrs)
-                B2 = lens.shape[0]
-                # vmask/seedmask derived on device (saves 2 uploads/batch)
+                (segs_rev, seg_lens, seg_off, kmer, kmer_ok, seg_short,
+                 rw, nmask, lens, md) = pg.unpack_pigeon_upload(buf, shape)
+                seed = ((tabs[0], tabs[1], kmer, kmer_ok, seg_short)
+                        if tabs else None)
+                B2 = shape[2]
+                # vmask/seedmask derived on device; the whole batch rides
+                # in ONE fused upload buffer (per-array upload overhead on
+                # the tunnel dominates otherwise — docs/TPU_NOTES.md v3)
                 return pg.pigeon_search(idx, trows, segs_rev, seg_lens,
                                         seg_off, rw, nmask, None, None,
                                         lens, md, opt, n_seg=n_seg,
                                         cand_cap=CC, gpool=B2,
-                                        kmer_seed=seed if seed else None)
+                                        kmer_seed=seed)
+
+            def f_buf(buf, shape):
+                tabs = self._kmer_tables() if with_kmer else ()
+                return core(shape, arrays, trows, buf, *tabs)
 
             def f(b, md):
-                seed = ()
-                if with_kmer:
-                    import jax.numpy as jnp
-                    tk, tl = self._kmer_tables()
-                    seed = (tk, tl, jnp.asarray(b["kmer"]),
-                            jnp.asarray(b["kmer_ok"]),
-                            jnp.asarray(b["seg_short"]))
-                return core(arrays, trows, b["segs_rev"], b["seg_lens"],
-                            b["seg_off"], b["rw"], b["nmask"],
-                            b["lens"], md, *seed)
+                return f_buf(*pg.pack_pigeon_upload(b, md))
+            f = (f, f_buf)
             self._pigeon_jit[key] = f
         return f
 
     def _pigeon_raw(self, reads, n_seg):
         """Pack both strands, run the device pigeon search -> PigeonResult
-        (host arrays; the fetch overlaps its transfers)."""
+        (host arrays; the fetch overlaps its transfers).
+
+        The batch pack (revcomp lanes, anchors, packed words, fused
+        upload buffer) runs in native C++ when librefpack is available
+        (~10x the numpy path); both produce bit-identical buffers.
+        """
+        from . import refpack
         from .search import pigeon as pg
+        from .search.pigeon import fetch_result
         rb = ReadBatch.from_reads(reads)
+        lens = rb.lens
+        budg = {int(L): self.opt.diff_budget(int(L))
+                for L in np.unique(lens).tolist()}
+        md_fwd = np.fromiter((budg[int(L)] for L in lens), np.int32,
+                             len(lens))
+        K = self._kmer_k
+        tail = pg.auto_anchor_tail(int(self.di.n), K)
+        f, f_buf = self._pigeon_search_fn(n_seg)
+        native = refpack.pigeon_pack(rb.mat, lens, md_fwd, n_seg, K, tail)
+        if native is not None:
+            return fetch_result(f_buf(*native))
         Rf, lens = rb.padded()
         Lmax = Rf.shape[1]
         # vectorized reverse-complement lanes (comp of 0..3; N/PAD carried)
@@ -269,15 +290,10 @@ class Aligner:
         both = (np.vstack([Rf, Rr]), np.concatenate([lens, lens]))
         batch = pg.pack_pigeon_batch(both, n_seg=n_seg,
                                      seed_len=self.opt.seed_len,
-                                     kmer_k=self._kmer_k,
-                                     anchor_tail=pg.auto_anchor_tail(
-                                         int(self.di.n), self._kmer_k),
+                                     kmer_k=K, anchor_tail=tail,
                                      device_masks=True)
-        budg = {L: self.opt.diff_budget(L)
-                for L in np.unique(both[1]).tolist()}
-        md = np.array([budg[int(L)] for L in both[1]], np.int32)
-        from .search.pigeon import fetch_result
-        return fetch_result(self._pigeon_search_fn(n_seg)(batch, md))
+        md = np.concatenate([md_fwd, md_fwd])
+        return fetch_result(f(batch, md))
 
     def pigeon_occurrences(self, reads, n_seg):
         """Pigeon search of reads (both strands): (occs[B], fallback[B])."""

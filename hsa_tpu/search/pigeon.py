@@ -257,6 +257,76 @@ def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
     return out
 
 
+def pack_pigeon_upload(batch, md):
+    """Fuse a pack_pigeon_batch dict (+ md) into ONE uint32 upload buffer.
+
+    The axon tunnel charges ~per-ARRAY upload overhead for fresh host
+    arrays (measured: 14 small arrays cost ~4x one fused buffer of the
+    same bytes), so the whole batch rides in one contiguous buffer with
+    a shape-static layout; :func:`unpack_pigeon_upload` splits it inside
+    the jit.  Fields are bit-packed: segment anchor codes 8b x4/word,
+    seg_off|seg_lens 16b+16b, kmer|ok<<24|short<<25, lens|md<<16.
+    """
+    segs = batch["segs_rev"]
+    R, SL = segs.shape
+    B2, RW = batch["rw"].shape
+    S4 = (SL + 3) // 4
+    segs4 = np.zeros((R, S4), np.uint32)
+    sr = segs.astype(np.uint32)
+    for t in range(SL):
+        segs4[:, t // 4] |= sr[:, t] << np.uint32(8 * (t % 4))
+    soff_len = (batch["seg_off"].astype(np.uint32)
+                | (batch["seg_lens"].astype(np.uint32) << 16))
+    if "kmer" in batch:
+        kmer_fl = (batch["kmer"].astype(np.uint32)
+                   | (batch["kmer_ok"].astype(np.uint32) << 24)
+                   | (batch["seg_short"].astype(np.uint32) << 25))
+    else:
+        kmer_fl = np.zeros(R, np.uint32)
+    lens_md = (batch["lens"].astype(np.uint32)
+               | (np.asarray(md).astype(np.uint32) << 16))
+    buf = np.concatenate([
+        segs4.ravel(), soff_len, kmer_fl,
+        batch["rw"].astype(np.uint32).ravel(),
+        batch["nmask"].astype(np.uint32).ravel(), lens_md])
+    return buf, (R, SL, B2, RW)
+
+
+def unpack_pigeon_upload(buf, shape):
+    """Traced inverse of :func:`pack_pigeon_upload`.
+
+    Returns (segs_rev i32[R,SL], seg_lens, seg_off, kmer, kmer_ok,
+    seg_short, rw, nmask, lens, md)."""
+    R, SL, B2, RW = shape
+    S4 = (SL + 3) // 4
+    o = 0
+
+    def take(n):
+        nonlocal o
+        out = lax.slice_in_dim(buf, o, o + n)
+        o += n
+        return out
+
+    segs4 = take(R * S4).reshape(R, S4)
+    cols = [((segs4[:, t // 4] >> U32(8 * (t % 4))) & U32(0xFF)).astype(jnp.int32)
+            for t in range(SL)]
+    segs_rev = jnp.stack(cols, axis=1)
+    soff_len = take(R)
+    seg_off = (soff_len & U32(0xFFFF)).astype(I32)
+    seg_lens = (soff_len >> U32(16)).astype(I32)
+    kmer_fl = take(R)
+    kmer = (kmer_fl & U32(0xFFFFFF)).astype(I32)
+    kmer_ok = ((kmer_fl >> U32(24)) & U32(1)).astype(jnp.uint8)
+    seg_short = ((kmer_fl >> U32(25)) & U32(1)).astype(jnp.uint8)
+    rw = take(B2 * RW).reshape(B2, RW)
+    nmask = take(B2 * RW).reshape(B2, RW)
+    lens_md = take(B2)
+    lens = (lens_md & U32(0xFFFF)).astype(I32)
+    md = (lens_md >> U32(16)).astype(I32)
+    return (segs_rev, seg_lens, seg_off, kmer, kmer_ok, seg_short,
+            rw, nmask, lens, md)
+
+
 def _selectn(words, idx):
     """words: list of [N] vectors (len padded to a power of two with
     zeros); idx: int32 [N] in [0, len(words))."""

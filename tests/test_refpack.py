@@ -58,3 +58,44 @@ def test_int64_instantiation_matches_int32():
         t = rand_text(n, seed)
         np.testing.assert_array_equal(refpack.suffix_array_force64(t),
                                       refpack.suffix_array(t))
+
+
+def test_native_pigeon_pack_matches_numpy():
+    """rp_pigeon_pack buffer == numpy pack_pigeon_batch + pack_pigeon_upload."""
+    import numpy as np
+    import pytest
+    from hsa_tpu import refpack
+    import hsa_tpu.search.pigeon as pg
+    if not refpack.available() or refpack.pigeon_pack(
+            np.zeros((1, 12), np.uint8), np.ones(1, np.int32),
+            np.ones(1, np.int32), 2, 0, 4) is None:
+        pytest.skip("native lib unavailable")
+    rs = np.random.RandomState(3)
+    for K, tail, n_seg, Lmax in ((0, 6, 3, 60), (6, 4, 3, 73), (12, 5, 5, 150)):
+        B = 37
+        mat = rs.randint(0, 4, (B, Lmax)).astype(np.uint8)
+        lens = rs.randint(max(Lmax - 9, n_seg * 2), Lmax + 1,
+                          B).astype(np.int32)
+        # sprinkle Ns (incl. inside anchors)
+        for _ in range(25):
+            mat[rs.randint(B), rs.randint(Lmax)] = 4
+        md = rs.randint(0, n_seg, B).astype(np.int32)
+        native = refpack.pigeon_pack(mat, lens, md, n_seg, K, tail)
+        assert native is not None
+        buf_n, shape_n = native
+        # numpy reference: revcomp lanes + pack + fuse
+        t = np.arange(Lmax)[None, :]
+        Rf = np.where(t < lens[:, None], mat, 5).astype(np.uint8)
+        cols = np.clip(lens[:, None] - 1 - t, 0, Lmax - 1)
+        Rr = np.take_along_axis(Rf, cols, axis=1)
+        Rr = np.where(Rr <= 3, 3 - Rr, Rr).astype(np.uint8)
+        Rr = np.where(t < lens[:, None], Rr, 5).astype(np.uint8)
+        both = (np.vstack([Rf, Rr]), np.concatenate([lens, lens]))
+        batch = pg.pack_pigeon_batch(both, n_seg=n_seg, seed_len=32,
+                                     kmer_k=K, anchor_tail=tail,
+                                     device_masks=True)
+        buf_p, shape_p = pg.pack_pigeon_upload(
+            batch, np.concatenate([md, md]))
+        assert shape_n == shape_p, (shape_n, shape_p)
+        assert np.array_equal(buf_n, buf_p), \
+            (K, np.nonzero(buf_n != buf_p)[0][:5])
