@@ -388,18 +388,19 @@ def cmd_align(argv):
                 if s + len(br) > done:
                     yield s, bn, br, bq
         stream = iter(al.align_stream(todo(), beam_width=a.beam_width,
-                                      sopt=SamseOpt(n_multi=a.n_multi)))
+                                      sopt=SamseOpt(n_multi=a.n_multi),
+                                      emit="sam"))
         while True:
             with met.timer("align"):   # wall per batch incl. overlap wait
                 item = next(stream, None)
             if item is None:
                 break
-            s, recs = item
-            total = s + len(recs)
-            met.note_batch(len(recs), recs, al.last_overflow)
+            s, (lines, flags) = item
+            total = s + len(lines)
+            met.note_batch(len(lines), lines, al.last_overflow, flags=flags)
             with met.timer("write"):
-                for r in recs:
-                    out.write(r.to_sam() + "\n")
+                out.write("\n".join(lines))
+                out.write("\n")
                 out.flush()
             _save_manifest(a.out, args_key, total, -1)
             met.log(f"align {total} reads")

@@ -38,9 +38,14 @@ class RunMetrics:
     def log(self, msg: str):
         print(f"[hsa-tpu] {msg}", file=sys.stderr)
 
-    def note_batch(self, n_reads: int, records, overflow=None):
+    def note_batch(self, n_reads: int, records, overflow=None, flags=None):
+        """``records`` may be AlnRecords, or SAM lines with ``flags`` the
+        parallel flag list (the direct-emission fast path)."""
         self.count("reads_in", n_reads)
-        mapped = sum(1 for r in records if not (r.flag & 4))
+        if flags is not None:
+            mapped = sum(1 for f in flags if not (f & 4))
+        else:
+            mapped = sum(1 for r in records if not (r.flag & 4))
         self.count("records_out", len(records))
         self.count("reads_mapped", mapped)
         if overflow is not None:

@@ -422,14 +422,23 @@ class Aligner:
         return ("pigeon", rb, elig, sub, res)
 
     def _align_finish(self, handle, names, quals, *, read_offset: int = 0,
-                      sopt=None, beam_width=None, max_hits=32):
-        """Phase B: finalize + (rare) beam fallback + record resolution."""
+                      sopt=None, beam_width=None, max_hits=32,
+                      emit: str = "records"):
+        """Phase B: finalize + (rare) beam fallback + record resolution.
+
+        ``emit="sam"`` returns (sam_lines, flags) with the common record
+        shapes formatted directly (skips AlnRecord construction + the
+        second to_sam pass — the dominant host cost at full batch rate).
+        """
         from .resolve.samse import collect_occurrences, resolve_from_occ_arrays
         from .search import pigeon as pg
         if handle[0] == "beam":
             _, rb, h = handle
-            return self.resolve_handle(h, rb, names, quals,
+            recs = self.resolve_handle(h, rb, names, quals,
                                        read_offset=read_offset, sopt=sopt)
+            if emit == "sam":
+                return [r.to_sam() for r in recs], [r.flag for r in recs]
+            return recs
         _, rb, elig, sub, res = handle
         B = len(rb)
         occ, fb = pg.pigeon_occ_arrays(res, len(sub), self.opt,
@@ -465,10 +474,11 @@ class Aligner:
         names = names or [f"read{read_offset + i}" for i in range(B)]
         return resolve_from_occ_arrays(self.text, self.meta, rb, names,
                                        quals, occ, truncated, self.opt,
-                                       sopt, read_offset=read_offset)
+                                       sopt, read_offset=read_offset,
+                                       emit=emit)
 
     def align_stream(self, batches, *, beam_width=None, max_hits=32,
-                     sopt: SamseOpt | None = None):
+                     sopt: SamseOpt | None = None, emit: str = "records"):
         """Pipelined alignment over (start, names, reads, quals) batches.
 
         Batch n+1's host pack + device search + result fetch runs on a
@@ -488,13 +498,13 @@ class Aligner:
                     ps, pn, pq, pfut = prev
                     yield ps, self._align_finish(
                         pfut.result(), pn, pq, read_offset=ps, sopt=sopt,
-                        beam_width=beam_width, max_hits=max_hits)
+                        beam_width=beam_width, max_hits=max_hits, emit=emit)
                 prev = (s, bn, bq, fut)
             if prev is not None:
                 ps, pn, pq, pfut = prev
                 yield ps, self._align_finish(
                     pfut.result(), pn, pq, read_offset=ps, sopt=sopt,
-                    beam_width=beam_width, max_hits=max_hits)
+                    beam_width=beam_width, max_hits=max_hits, emit=emit)
         finally:
             ex.shutdown(wait=True)
 

@@ -245,7 +245,7 @@ _DECODE_LUT = np.frombuffer(b"ACGTNN", dtype=np.uint8).copy()
 
 def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
                             opt: AlnOpt, sopt: SamseOpt | None = None,
-                            read_offset: int = 0):
+                            read_offset: int = 0, emit: str = "records"):
     """Vectorized resolution over flat occurrence arrays.
 
     ``occ`` is the dict produced by
@@ -417,9 +417,12 @@ def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
     mmrows_l = {j: v.tolist() for j, v in mm_rows.items()}
     winmm_l = {j: win_of[j][mm_rows[j]].tolist() for j in mm_rows}
 
+    emit_sam = emit == "sam"
     records = []
+    flags_out = []
     md_lut = "ACGTN"
     has_amb = bool(meta.amb_runs)
+    n_multi = sopt.n_multi
     for j in range(B):
         L = lens_l[j]
         name = names[j]
@@ -427,7 +430,13 @@ def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
         gidx = g_of_l[j]
         if gidx < 0:
             seq_fwd = fwd_chars[j, :L].tobytes().decode()
-            records.append(AlnRecord(name, 4, "*", 0, 0, "*", seq_fwd, qual))
+            if emit_sam:
+                records.append(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq_fwd}"
+                               f"\t{qual or '*'}")
+                flags_out.append(4)
+            else:
+                records.append(AlnRecord(name, 4, "*", 0, 0, "*", seq_fwd,
+                                         qual))
             continue
         st = p_str_l[gidx]
         if st:
@@ -439,6 +448,25 @@ def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
             q = qual
             flag = 0
         mapq = mapq_l[gidx]
+        c1 = c1_l[gidx]
+        # XA alternates (window order, pick excluded, first n_multi)
+        xa = None
+        nw = nwin_l[gidx]
+        if 1 < nw <= n_multi + 1 or (c1 == 1 and 0 < c2_l[gidx] <= n_multi):
+            s0, s1 = grp_first_l[gidx], grp_first_l[gidx] + grp_cnt_l[gidx]
+            parts = []
+            for oi in range(s0, s1):
+                if oi == pick_idx_l[gidx] or not wmask_l[oi]:
+                    continue
+                if len(parts) >= n_multi:
+                    break
+                o = Occurrence(int(pos[oi]), int(strand[oi]), int(score[oi]),
+                               int(nmm[oi]), int(ngapo[oi]), int(ngape[oi]))
+                arec = _make_record(text, meta, reads[j], name, qual, o, 0, opt)
+                parts.append(f"{arec.rname},{'-' if o.strand else '+'}"
+                             f"{arec.pos},{arec.cigar},{arec.tags['NM']}")
+            if parts:
+                xa = ";".join(parts) + ";"
         nm_j = nm_of.get(j)
         if nm_j is not None:
             # ungapped: "LM" CIGAR, MD from mismatch positions
@@ -449,41 +477,47 @@ def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
                 parts.append(md_lut[wc if wc < 4 else 4])
                 prev = col + 1
             parts.append(str(L - prev))
+            mdstr = "".join(parts)
+            xn = xn_of.get(j, 0) if has_amb else 0
+            if emit_sam:
+                # field/tag order mirrors AlnRecord.to_sam exactly
+                line = (f"{name}\t{flag}\t{rname_l[gidx]}\t{off1_l[gidx]}"
+                        f"\t{mapq}\t{L}M\t*\t0\t0\t{seq}\t{q or '*'}"
+                        f"\tXT:Z:{'U' if c1 == 1 else 'R'}\tX0:i:{c1}")
+                if not truncated[j]:
+                    line += f"\tX1:i:{c2_l[gidx]}"
+                if xn:
+                    line += f"\tXN:i:{xn}"
+                line += (f"\tXM:i:{p_nmm_l[gidx]}\tXO:i:0\tXG:i:0"
+                         f"\tNM:i:{nm_j}\tMD:Z:{mdstr}")
+                if xa:
+                    line += f"\tXA:Z:{xa}"
+                records.append(line)
+                flags_out.append(flag)
+                continue
             rec = AlnRecord(name, flag, rname_l[gidx], off1_l[gidx], mapq,
                             f"{L}M", seq, q)
-            rec.tags.update(NM=nm_j, MD="".join(parts),
+            rec.tags.update(NM=nm_j, MD=mdstr,
                             XM=p_nmm_l[gidx], XO=0, XG=0)
-            if has_amb:
-                xn = xn_of.get(j, 0)
-                if xn:
-                    rec.tags["XN"] = xn
+            if xn:
+                rec.tags["XN"] = xn
         else:
             o = Occurrence(p_pos_l[gidx], st, pick_sc_l[gidx],
                            p_nmm_l[gidx], p_go_l[gidx], p_ge_l[gidx])
             rec = _make_record(text, meta, reads[j], name, qual, o, mapq, opt)
-        rec.tags["XT"] = "U" if c1_l[gidx] == 1 else "R"
-        rec.tags["X0"] = c1_l[gidx]
+        rec.tags["XT"] = "U" if c1 == 1 else "R"
+        rec.tags["X0"] = c1
         if not truncated[j]:
             rec.tags["X1"] = c2_l[gidx]
-        # XA alternates
-        nw = nwin_l[gidx]
-        if 1 < nw <= sopt.n_multi + 1 or (c1_l[gidx] == 1
-                                          and 0 < c2_l[gidx] <= sopt.n_multi):
-            s0, s1 = grp_first_l[gidx], grp_first_l[gidx] + grp_cnt_l[gidx]
-            parts = []
-            for oi in range(s0, s1):
-                if oi == pick_idx_l[gidx] or not wmask_l[oi]:
-                    continue
-                if len(parts) >= sopt.n_multi:
-                    break
-                o = Occurrence(int(pos[oi]), int(strand[oi]), int(score[oi]),
-                               int(nmm[oi]), int(ngapo[oi]), int(ngape[oi]))
-                arec = _make_record(text, meta, reads[j], name, qual, o, 0, opt)
-                parts.append(f"{arec.rname},{'-' if o.strand else '+'}"
-                             f"{arec.pos},{arec.cigar},{arec.tags['NM']}")
-            if parts:
-                rec.tags["XA"] = ";".join(parts) + ";"
-        records.append(rec)
+        if xa:
+            rec.tags["XA"] = xa
+        if emit_sam:
+            records.append(rec.to_sam())
+            flags_out.append(rec.flag)
+        else:
+            records.append(rec)
+    if emit_sam:
+        return records, flags_out
     return records
 
 

@@ -147,3 +147,21 @@ def test_truncated_flag_suppresses_x1():
     for a, b in zip(recs_loop, recs_vec):
         assert a.to_sam() == b.to_sam()
         assert "X1" not in a.tags or a.flag == 4
+
+
+def test_sam_emission_matches_records():
+    """emit='sam' lines are byte-equal to records-mode to_sam()."""
+    rs = np.random.RandomState(23)
+    reads = make_reads(rs, 30)
+    lists, fb_l, arrs, fb_a = run_both(reads, OPT, 3, 4)
+    B = len(reads)
+    names = [f"s{i}" for i in range(B)]
+    quals = ["J" * len(r) for r in reads]
+    trunc = [False] * B
+    recs = resolve_from_occ_arrays(T, META, reads, names, quals, arrs,
+                                   trunc, OPT, SamseOpt(), read_offset=3)
+    lines, flags = resolve_from_occ_arrays(T, META, reads, names, quals,
+                                           arrs, trunc, OPT, SamseOpt(),
+                                           read_offset=3, emit="sam")
+    assert [r.to_sam() for r in recs] == lines
+    assert [r.flag for r in recs] == list(flags)
