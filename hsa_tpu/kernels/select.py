@@ -153,7 +153,10 @@ def select_topk(key, payloads, K: int, window=None, drop_accum=None, *,
             okeyd = jnp.concatenate([okey, nd], axis=0)
             return okeyd, pouts, nd
         interpret = False
-    lanes = min(lanes, B)
+    # lane count must stay 128-aligned: an odd minor dim (e.g. B=65)
+    # scalarizes the Mosaic lowering and blows the scoped-vmem stack
+    # (observed: 41.75M stack at [2592, 65] where [2592, 512] compiles)
+    lanes = min(lanes, ((B + 127) // 128) * 128)
     pad = (-B) % lanes
     Bp = B + pad
     args = [key, *payloads]

@@ -454,6 +454,10 @@ class Aligner:
         hd = np.zeros(B, np.int32)
         if fb_ids:
             bsub = [rb[j] for j in fb_ids]
+            # pad to a power of two: the beam compiles per batch shape and
+            # arbitrary fallback counts would each pay a fresh compile
+            tgt = 1 << max(len(bsub) - 1, 0).bit_length()
+            bsub += [bsub[0]] * (tgt - len(bsub))
             hf, hr = self.search_batch(bsub, beam_width=beam_width,
                                        max_hits=max_hits, ladder=self.ladder)
             sub_occs, sub_trunc = collect_occurrences(hf, hr, self.locate_fn)
@@ -559,6 +563,9 @@ class Aligner:
         self.last_ineligible_frac = (2 * B - len(elig)) / (2 * B)
         if fb_ids:
             sub = [all_reads[j] for j in fb_ids]
+            # power-of-two padding: bound the set of beam compile shapes
+            tgt = 1 << max(len(sub) - 1, 0).bit_length()
+            sub += [sub[0]] * (tgt - len(sub))
             hf, hr = self.search_batch(sub, beam_width=beam_width,
                                        max_hits=max_hits, ladder=self.ladder)
             sub_occs, sub_trunc = collect_occurrences(hf, hr, self.locate_fn)

@@ -321,3 +321,96 @@ extern "C" int rp_pigeon_pack(
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Banded global DP (hsa_tpu.resolve.cigar.banded_global, scalar port).
+//
+// Exact mirror of the numpy reference — same BIG sentinel, band clipping,
+// affine recurrences, free-end-column selection (first minimum), and the
+// M > D > I traceback tie-break — so CIGARs are byte-identical (fuzzed in
+// tests/test_refpack.py).  ops_out bytes: 0=M, 1=I, 2=D, in read order.
+
+extern "C" int rp_banded_global(
+    const uint8_t* read, int32_t L, const uint8_t* ref, int32_t G,
+    int32_t s_mm, int32_t s_gapo, int32_t s_gape, int32_t band,
+    uint8_t* ops_out, int32_t* n_ops, int32_t* cost_out, int32_t* jend_out) {
+  if (L < 0 || G < 0) return -1;
+  if (band < 1) band = 1;
+  const int32_t BIG = 1 << 28;
+  const int64_t W = (int64_t)G + 1;
+  std::vector<int32_t> m((L + 1) * W, BIG), ins((L + 1) * W, BIG),
+      dele((L + 1) * W, BIG);
+  auto M = [&](int64_t i, int64_t j) -> int32_t& { return m[i * W + j]; };
+  auto I = [&](int64_t i, int64_t j) -> int32_t& { return ins[i * W + j]; };
+  auto D = [&](int64_t i, int64_t j) -> int32_t& { return dele[i * W + j]; };
+  M(0, 0) = 0;
+  {
+    const int64_t jmax = G < (int64_t)L + band ? G : (int64_t)L + band;
+    for (int64_t j = 1; j <= jmax; ++j) D(0, j) = s_gapo + (j - 1) * s_gape;
+    const int64_t imax = L < band ? L : band;
+    for (int64_t i = 1; i <= imax; ++i) I(i, 0) = s_gapo + (i - 1) * s_gape;
+  }
+  for (int64_t i = 1; i <= L; ++i) {
+    int64_t jlo = i - band > 1 ? i - band : 1;
+    int64_t jhi = i + band < G ? i + band : G;
+    if (jlo > jhi) continue;
+    for (int64_t j = jlo; j <= jhi; ++j) {
+      int32_t sub = (read[i - 1] > 3 || read[i - 1] != ref[j - 1]) ? s_mm : 0;
+      int32_t bp = M(i - 1, j - 1);
+      if (I(i - 1, j - 1) < bp) bp = I(i - 1, j - 1);
+      if (D(i - 1, j - 1) < bp) bp = D(i - 1, j - 1);
+      M(i, j) = bp + sub;
+      int32_t iv = M(i - 1, j) + s_gapo;
+      int32_t iv2 = I(i - 1, j) + s_gape;
+      I(i, j) = iv < iv2 ? iv : iv2;
+      int32_t dv = M(i, j - 1) + s_gapo;
+      int32_t dv2 = D(i, j - 1) + s_gape;
+      D(i, j) = dv < dv2 ? dv : dv2;
+    }
+  }
+  // free end in ref: best over all states and end columns (first min)
+  int64_t jend = 0;
+  int32_t best = BIG + 1;
+  for (int64_t j = 0; j <= G; ++j) {
+    int32_t t = M(L, j);
+    if (I(L, j) < t) t = I(L, j);
+    if (D(L, j) < t) t = D(L, j);
+    if (t < best) { best = t; jend = j; }
+  }
+  *cost_out = best;
+  *jend_out = (int32_t)jend;
+  // traceback, M > D > I preference
+  int64_t i = L, j = jend;
+  int32_t state;
+  {
+    int32_t vals[3] = {M(L, jend), D(L, jend), I(L, jend)};
+    state = 0;
+    if (vals[1] < vals[state]) state = 1;
+    if (vals[2] < vals[state]) state = 2;
+  }
+  int32_t n = 0;
+  while (i > 0 || j > 0) {
+    if (i == 0) { ops_out[n++] = 2; --j; continue; }
+    if (j == 0) { ops_out[n++] = 1; --i; continue; }
+    if (state == 0) {
+      int32_t sub = (read[i - 1] > 3 || read[i - 1] != ref[j - 1]) ? s_mm : 0;
+      int32_t target = M(i, j) - sub;
+      int32_t prev[3] = {M(i - 1, j - 1), D(i - 1, j - 1), I(i - 1, j - 1)};
+      for (int s = 0; s < 3; ++s)
+        if (prev[s] == target) { state = s; break; }
+      ops_out[n++] = 0; --i; --j;
+    } else if (state == 1) {
+      state = (M(i, j - 1) + s_gapo == D(i, j)) ? 0 : 1;
+      ops_out[n++] = 2; --j;
+    } else {
+      state = (M(i - 1, j) + s_gapo == I(i, j)) ? 0 : 2;
+      ops_out[n++] = 1; --i;
+    }
+  }
+  // ops were emitted back-to-front; reverse
+  for (int32_t a = 0, b = n - 1; a < b; ++a, --b) {
+    uint8_t t = ops_out[a]; ops_out[a] = ops_out[b]; ops_out[b] = t;
+  }
+  *n_ops = n;
+  return 0;
+}

@@ -26,6 +26,22 @@ def banded_global(read: np.ndarray, ref: np.ndarray, s_mm: int, s_gapo: int,
                   s_gape: int, band: int):
     """Min-cost alignment of the full read against a prefix-anchored ref window.
 
+    Dispatches to the native C++ port (``refpack.banded_global``,
+    bit-identical, ~100x faster — the per-gapped-record host DP was the
+    config-3 bottleneck) and falls back to the numpy reference
+    (:func:`banded_global_ref`) when the library is unavailable.
+    """
+    from .. import refpack
+    out = refpack.banded_global(read, ref, s_mm, s_gapo, s_gape, band)
+    if out is not None:
+        return out
+    return banded_global_ref(read, ref, s_mm, s_gapo, s_gape, band)
+
+
+def banded_global_ref(read: np.ndarray, ref: np.ndarray, s_mm: int,
+                      s_gapo: int, s_gape: int, band: int):
+    """Numpy reference implementation (semantics oracle for the C++ port).
+
     The alignment starts at (0, 0); the read must be fully consumed; the end
     column is free (trailing reference bases are not part of the alignment).
     Returns (cost, cigar list[(op, len)] with ops 'M','I','D', n_ref_consumed).

@@ -74,3 +74,62 @@ def test_resume_ignores_mismatched_args(workdir):
              "-f", out, "-n", "1", "-W", "128", "--batch", "6", "--resume"],
             cwd=None)
     assert "resuming" not in r.stderr
+
+
+def test_aln_resume_parts(workdir):
+    """aln --resume skips completed part shards and produces an identical
+    final .sai.npz."""
+    out = str(workdir / "r.sai.npz")
+    run(["aln", str(workdir / "ref.fa"), str(workdir / "reads.fq"),
+         "-f", out, "-n", "1", "-W", "128", "--batch", "4"], cwd=None)
+    ref = dict(np.load(out))
+    # simulate a crash: roll the manifest back to 8 reads and recreate the
+    # first two part shards (the run consumed them; resume must reuse them)
+    manifest = json.load(open(out + ".manifest.json"))
+    manifest["completed_reads"] = 8
+    json.dump(manifest, open(out + ".manifest.json", "w"))
+    os.makedirs(out + ".parts", exist_ok=True)
+    r = run(["aln", str(workdir / "ref.fa"), str(workdir / "reads.fq"),
+             "-f", out, "-n", "1", "-W", "128", "--batch", "4", "--resume"],
+            cwd=None)
+    assert "resuming at read 8" in r.stderr
+    got = dict(np.load(out))
+    for k in ref:
+        assert np.array_equal(ref[k], got[k]), k
+
+
+def test_align_pe_metrics_and_resume(workdir):
+    """align-pe supports --metrics and batch-granular --resume."""
+    rs = np.random.RandomState(9)
+    chrom = open(workdir / "ref.fa").read().splitlines()[1]
+    def rc(s):
+        return s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+    with open(workdir / "p1.fq", "w") as f1, \
+         open(workdir / "p2.fq", "w") as f2:
+        for i in range(8):
+            p = rs.randint(0, len(chrom) - 260)
+            f1.write(f"@p{i}\n{chrom[p:p + 50]}\n+\n{'I' * 50}\n")
+            f2.write(f"@p{i}\n{rc(chrom[p + 150:p + 200])}\n+\n{'I' * 50}\n")
+    out = str(workdir / "pe.sam")
+    met = str(workdir / "pemet.json")
+    run(["align-pe", str(workdir / "ref.fa"), str(workdir / "p1.fq"),
+         str(workdir / "p2.fq"), "-f", out, "-n", "1", "--batch", "4",
+         "--metrics", met], cwd=None)
+    m = json.load(open(met))
+    assert m["reads_in"] == 16 and m["records_out"] == 16
+    full = open(out).read()
+    # crash after first batch (4 pairs = 8 records)
+    mf = json.load(open(out + ".manifest.json"))
+    assert mf["completed_reads"] == 8
+    mf["completed_reads"] = 4
+    json.dump(mf, open(out + ".manifest.json", "w"))
+    lines = full.splitlines(keepends=True)
+    hdr = [l for l in lines if l.startswith("@")]
+    body = [l for l in lines if not l.startswith("@")]
+    with open(out, "w") as fh:
+        fh.writelines(hdr + body[:8])
+    r = run(["align-pe", str(workdir / "ref.fa"), str(workdir / "p1.fq"),
+             str(workdir / "p2.fq"), "-f", out, "-n", "1", "--batch", "4",
+             "--resume"], cwd=None)
+    assert "resuming at pair 4" in r.stderr
+    assert open(out).read() == full

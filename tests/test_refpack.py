@@ -99,3 +99,36 @@ def test_native_pigeon_pack_matches_numpy():
         assert shape_n == shape_p, (shape_n, shape_p)
         assert np.array_equal(buf_n, buf_p), \
             (K, np.nonzero(buf_n != buf_p)[0][:5])
+
+
+def test_native_banded_global_matches_numpy():
+    """rp_banded_global == cigar.banded_global_ref (cost, CIGAR, jend)."""
+    import numpy as np
+    import pytest
+    from hsa_tpu import refpack
+    from hsa_tpu.resolve.cigar import banded_global_ref
+    if refpack.banded_global(np.zeros(4, np.uint8), np.zeros(5, np.uint8),
+                             3, 11, 4, 2) is None:
+        pytest.skip("native lib unavailable")
+    rs = np.random.RandomState(7)
+    for trial in range(120):
+        L = rs.randint(5, 60)
+        band = rs.randint(1, 7)
+        # correlated read/ref so paths have real structure
+        ref = rs.randint(0, 4, L + rs.randint(0, 8)).astype(np.int8)
+        read = ref[:L].copy()
+        for _ in range(rs.randint(0, 4)):
+            read[rs.randint(L)] = rs.randint(0, 5)  # incl. N
+        if rs.randint(2) and L > 12:
+            cut = rs.randint(2, L - 2)
+            g = rs.randint(1, 3)
+            if rs.randint(2):
+                read = np.concatenate([read[:cut], read[cut + g:]])
+            else:
+                read = np.concatenate([read[:cut],
+                                       rs.randint(0, 4, g).astype(np.int8),
+                                       read[cut:]])
+        a = banded_global_ref(read, ref, 3, 11, 4, band)
+        b = refpack.banded_global(read, ref, 3, 11, 4, band)
+        assert a[0] == b[0] and a[2] == b[2], (trial, a, b)
+        assert list(a[1]) == list(b[1]), (trial, a[1], b[1])
