@@ -27,31 +27,42 @@ B = int(os.environ.get("HSA_BENCH_PAIRS", "256"))
 L = 150
 W = 32
 
-_COLLECTIVES = {"psum", "psum2", "all_gather", "all_gather_invariant",
-                "reduce_scatter", "ppermute", "all_to_all"}
+_COLLECTIVE_PAT = ("psum", "all_gather", "reduce_scatter", "ppermute",
+                   "all_to_all", "allreduce")
+
+
+def _is_collective(name: str) -> bool:
+    return any(p in name for p in _COLLECTIVE_PAT)
 
 
 def collective_stats(fn, *args):
-    """(count, per-shard bytes) of collectives in one traced step."""
+    """(sites, per-invocation per-shard bytes) of collectives in the traced
+    step.  Loop bodies count once (a site inside a 32-step locate walk
+    executes 32x at runtime); the numbers characterize the merge pattern,
+    not total wire traffic."""
     import jax
     jaxpr = jax.make_jaxpr(fn)(*args)
     stats = [0, 0]
 
+    def descend(p):
+        if hasattr(p, "eqns"):          # raw Jaxpr (e.g. shard_map body)
+            walk(p)
+        elif hasattr(p, "jaxpr"):       # ClosedJaxpr (e.g. pjit)
+            walk(p.jaxpr)
+        elif isinstance(p, (list, tuple)):
+            for q in p:
+                descend(q)
+
     def walk(jx):
         for eq in jx.eqns:
-            if eq.primitive.name in _COLLECTIVES:
+            if _is_collective(eq.primitive.name):
                 stats[0] += 1
                 for v in eq.outvars:
                     sh = getattr(v.aval, "shape", ())
                     stats[1] += int(np.prod(sh, dtype=np.int64)
                                     * v.aval.dtype.itemsize) if sh else 4
             for p in eq.params.values():
-                if hasattr(p, "jaxpr"):
-                    walk(p.jaxpr)
-                elif isinstance(p, (list, tuple)):
-                    for q in p:
-                        if hasattr(q, "jaxpr"):
-                            walk(q.jaxpr)
+                descend(p)
     walk(jaxpr.jaxpr)
     return stats
 
@@ -115,10 +126,10 @@ def main():
            t_shard1_ms=round(results[1] * 1e3, 1),
            t_shard2_ms=round(results[2] * 1e3, 1),
            t_shard4_ms=round(results[4] * 1e3, 1),
-           beam_psums_per_step=stats_beam[0],
-           beam_psum_mb_per_shard=round(stats_beam[1] / 1e6, 2),
-           pigeon_psums_per_step=stats_pig[0],
-           pigeon_psum_mb_per_shard=round(stats_pig[1] / 1e6, 2),
+           beam_psum_sites=stats_beam[0],
+           beam_psum_kb_per_shard=round(stats_beam[1] / 1e3, 2),
+           pigeon_psum_sites=stats_pig[0],
+           pigeon_psum_kb_per_shard=round(stats_pig[1] / 1e3, 2),
            pigeon_ms=round(dt_pig * 1e3, 1),
            pigeon_mapped=round(mapped, 4))
 

@@ -461,6 +461,7 @@ class Aligner:
             hf, hr = self.search_batch(bsub, beam_width=beam_width,
                                        max_hits=max_hits, ladder=self.ladder)
             sub_occs, sub_trunc = collect_occurrences(hf, hr, self.locate_fn)
+            sub_occs = sub_occs[:len(fb_ids)]   # drop pow2-padding lanes
             sld, shd = self.last_overflow
             half = len(bsub)
             for i, j in enumerate(fb_ids):

@@ -83,7 +83,7 @@ def _run(label, build):
         dt = timeit_sync(g, q, tab, iters=4)
         _check(g, q, tab, label, dt)
     except Exception as e:
-        print(f"{label}: FAILED {type(e).__name__}: {str(e)[:300]}",
+        print(f"{label}: FAILED {type(e).__name__}: {str(e)[:2500]}",
               flush=True)
 
 
@@ -236,7 +236,7 @@ def test_grid():
             gs = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(NQ // CHUNK,),
                 in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-                out_specs=pl.BlockSpec((CHUNK, 8), lambda _, c: (c, 0),
+                out_specs=pl.BlockSpec((CHUNK, 8), lambda i, q: (i, 0),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[pltpu.SemaphoreType.DMA((CHUNK,))])
 
