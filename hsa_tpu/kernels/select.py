@@ -143,9 +143,14 @@ def select_topk(key, payloads, K: int, window=None, drop_accum=None, *,
             nd = drop_accum.astype(jnp.uint32).reshape(1, B) + nd
         return jnp.concatenate([okey, nd], axis=0), pouts, nd
     if interpret is None:
-        if jax.default_backend() == "cpu":
+        if jax.default_backend() == "cpu" or C * K > 200_000:
             # CPU: sort-based reference (fast to compile; the kernel itself
-            # is covered by tests/test_select_kernel.py in interpret mode)
+            # is covered by tests/test_select_kernel.py in interpret mode).
+            # TPU with C*K beyond ~200K: the Mosaic scoped-vmem stack of
+            # the unrolled K-deep selection overflows the 16M limit
+            # (observed 40.7M at [2592, 128]); these wide-ladder merges
+            # are rare escalation stages, so the slower XLA sort is the
+            # correct trade.
             okey, pouts, nd = select_topk_reference(key, payloads, K, window)
             nd = nd.reshape(1, B)
             if drop_accum is not None:
@@ -153,10 +158,10 @@ def select_topk(key, payloads, K: int, window=None, drop_accum=None, *,
             okeyd = jnp.concatenate([okey, nd], axis=0)
             return okeyd, pouts, nd
         interpret = False
-    # lane count must stay 128-aligned: an odd minor dim (e.g. B=65)
-    # scalarizes the Mosaic lowering and blows the scoped-vmem stack
-    # (observed: 41.75M stack at [2592, 65] where [2592, 512] compiles)
-    lanes = min(lanes, ((B + 127) // 128) * 128)
+    # lane count stays at the full 512 regardless of B: blocks narrower
+    # than 512 lanes (observed [2592, 65] and [2592, 128]) blow the
+    # Mosaic scoped-vmem stack (~41M vs the 16M limit) where the same C
+    # at 512 lanes compiles — small batches pad up instead.
     pad = (-B) % lanes
     Bp = B + pad
     args = [key, *payloads]
