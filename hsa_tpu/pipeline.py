@@ -546,13 +546,19 @@ class Aligner:
                                     read_offset=read_offset)
         from .resolve.samse import collect_occurrences
         from .resolve.sampe import resolve_pe_from_occurrences
+        from .search import pigeon as pg
         eset = set(elig)
         occs1 = [[] for _ in range(B)]
         occs2 = [[] for _ in range(B)]
         trunc = [False] * 2 * B
         psub = [j for j in elig]
-        occs_p, fb = self.pigeon_occurrences([all_reads[j] for j in psub],
-                                             n_seg) if psub else ([], np.zeros(0, bool))
+        if psub:
+            # vectorized finalize (array dedup) -> per-end lists
+            occ, fb = self.pigeon_occ_arrays([all_reads[j] for j in psub],
+                                             n_seg)
+            occs_p = pg.occ_arrays_to_lists(occ, len(psub))
+        else:
+            occs_p, fb = [], np.zeros(0, bool)
         fb_set = set()
         for i, j in enumerate(psub):
             if fb[i]:

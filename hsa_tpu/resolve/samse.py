@@ -541,7 +541,19 @@ def _make_record(text, meta, read, name, qual, o: Occurrence, mapq, opt: AlnOpt)
         glen = L
         ref_win = text[o.pos:o.pos + L]
         cigar = [("M", L)]
-        nm, md = cigar_stats(cigar, aln_read, ref_win)
+        # vectorized NM/MD (cigar_stats twin for the all-M case; the
+        # per-base python walk dominated paired-end record building)
+        rd = np.asarray(aln_read)
+        mmp = np.nonzero((rd != ref_win) | (rd > 3))[0]
+        nm = len(mmp)
+        parts = []
+        prev = 0
+        for p in mmp.tolist():
+            parts.append(str(p - prev))
+            parts.append("ACGTN"[min(int(ref_win[p]), 4)])
+            prev = p + 1
+        parts.append(str(L - prev))
+        md = "".join(parts)
     else:
         # clamp the refinement window to this sequence's end so the CIGAR
         # can never cross a chromosome junction in the concatenated text

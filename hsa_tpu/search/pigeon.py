@@ -850,6 +850,30 @@ def pigeon_occ_arrays(res: PigeonResult, B: int, opt, cand_cap: int):
     return occ, fb
 
 
+def occ_arrays_to_lists(occ, B):
+    """Flat occurrence arrays -> per-read Occurrence lists.
+
+    The inverse adapter of :func:`occ_lists_to_arrays` for consumers that
+    need list form (paired-end resolution): arrays arrive deduped and
+    sorted by (rid, score, strand, pos), so appending in order preserves
+    the canonical list ordering.  One pass over ACTUAL occurrences
+    (~1-3/read) — ~10x cheaper than scanning the per-slot matrices.
+    """
+    from ..resolve.samse import Occurrence
+    occs = [[] for _ in range(B)]
+    rid = occ["rid"].tolist()
+    pos = occ["pos"].tolist()
+    strand = occ["strand"].tolist()
+    score = occ["score"].tolist()
+    nmm = occ["nmm"].tolist()
+    go = occ["ngapo"].tolist()
+    ge = occ["ngape"].tolist()
+    for i in range(len(rid)):
+        occs[rid[i]].append(Occurrence(pos[i], strand[i], score[i],
+                                       nmm[i], go[i], ge[i]))
+    return occs
+
+
 def occ_lists_to_arrays(occs):
     """Adapter: per-read Occurrence lists -> the flat array dict of
     :func:`pigeon_occ_arrays` (lists are already deduped + sorted)."""
