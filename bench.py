@@ -133,7 +133,8 @@ def main():
     from hsa_tpu.search import pigeon as pg
     t0 = time.time()
     for _ in range(ITERS):
-        occ, fb = pg.pigeon_occ_arrays(res, len(reads), opt, 16)
+        occ, fb = pg.pigeon_occ_arrays(res, len(reads), opt,
+                                       aligner._PIGEON_CAND_CAP)
     fin_dt = (time.time() - t0) / ITERS
 
     prof_dir = os.environ.get("HSA_BENCH_PROFILE")

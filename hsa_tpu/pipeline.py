@@ -160,7 +160,12 @@ class Aligner:
         return self
 
     # -- pigeon fast path --------------------------------------------------
-    _PIGEON_CAND_CAP = 16
+    # capacity knobs (env-overridable for tuning runs): candidate slots
+    # per read-strand lane, and the max anchor interval width before a
+    # segment counts as repetitive (wider -> fewer beam fallbacks on
+    # repeat-dense genomes at more verify work per batch)
+    _PIGEON_CAND_CAP = int(os.environ.get("HSA_PIGEON_CC", "16"))
+    _PIGEON_SEG_CAP = int(os.environ.get("HSA_PIGEON_SEG_CAP", "32"))
     _PIGEON_MIN_SEG = 12
 
     def _pigeon_eligible(self, reads):
@@ -221,6 +226,7 @@ class Aligner:
             from .search import pigeon as pg
             arrays, meta = split_idx(self.dev)
             opt, CC = self.opt, self._PIGEON_CAND_CAP
+            seg_cap = self._PIGEON_SEG_CAP
             if self._text_rows is None:
                 import jax.numpy as jnp
                 self._text_rows = jnp.asarray(pg.pack_text_rows(self.text))
@@ -244,6 +250,7 @@ class Aligner:
                                         seg_off, rw, nmask, None, None,
                                         lens, md, opt, n_seg=n_seg,
                                         cand_cap=CC, gpool=B2,
+                                        seg_cap=seg_cap,
                                         kmer_seed=seed)
 
             def f_buf(buf, shape):

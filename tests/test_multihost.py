@@ -89,3 +89,110 @@ def test_two_process_sharded_exact(tmp_path):
     k, l, m = exact_search(dev, jnp.asarray(rr), jnp.asarray(lens))
     np.testing.assert_array_equal(np.asarray(k), np.asarray(a["k"], np.uint32))
     np.testing.assert_array_equal(np.asarray(l), np.asarray(a["l"], np.uint32))
+
+
+WORKER_PIGEON = textwrap.dedent("""
+    import os, sys, json
+    import numpy as np
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+    sys.path.insert(0, sys.argv[4])  # repo root
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=2, process_id=pid)
+    assert jax.device_count() == 8, jax.devices()
+    import jax.numpy as jnp
+    from hsa_tpu import alphabet
+    from hsa_tpu.config import AlnOpt
+    from hsa_tpu.index.layout import build_device_index
+    from hsa_tpu.dist.mesh import ShardedIndex, make_mesh
+    from hsa_tpu.search import pigeon as pg
+
+    t = np.random.RandomState(42).randint(0, 4, 20000).astype(np.int8)
+    di = build_device_index(t)
+    mesh = make_mesh(2, 4)
+    sidx = ShardedIndex(di, mesh)
+    opt = AlnOpt(max_diff=2, max_gapo=1)
+    rs = np.random.RandomState(0)
+    reads = []
+    for p in rs.randint(0, len(t) - 64, 8):
+        r = t[p:p + 60].copy()
+        r[rs.randint(60)] = (r[rs.randint(60)] + 1) % 4
+        reads.append(r)
+    both = reads + [alphabet.revcomp(r) for r in reads]
+    batch = pg.pack_pigeon_batch(both, n_seg=3, seed_len=opt.seed_len)
+    md = np.full(len(both), 2, np.int32)
+    trows = jnp.asarray(pg.pack_text_rows(t))
+    res = sidx.pigeon_fn(opt, 3, trows, cand_cap=16)(batch, md)
+    from jax.experimental import multihost_utils
+    posg = multihost_utils.process_allgather(res.pos, tiled=True)
+    valg = multihost_utils.process_allgather(res.valid, tiled=True)
+    json.dump(dict(pos=np.asarray(posg).tolist(),
+                   valid=np.asarray(valg).astype(int).tolist()),
+              open(out, "w"))
+""")
+
+
+@pytest.mark.slow
+def test_two_process_sharded_pigeon(tmp_path):
+    """The flagship pigeon engine across 2 jax.distributed processes
+    equals the single-process result (the multi-HOST form of the
+    sharded-pigeon contract)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "worker_pigeon.py"
+    script.write_text(WORKER_PIGEON)
+    port = "29531"
+    procs = []
+    outs = [str(tmp_path / f"p{i}.json") for i in range(2)]
+    for i in range(2):
+        env = os.environ.copy()
+        env.pop("JAX_PLATFORMS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script), str(i), port, outs[i], repo],
+            cwd=repo, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    rets = [p.wait(timeout=500) for p in procs]
+    errs = [p.stderr.read() for p in procs]
+    if any(r != 0 for r in rets):
+        blob = "\n".join(errs)
+        if ("distributed" in blob.lower() or "collective" in blob.lower()
+                or "not implemented" in blob.lower() or "grpc" in blob.lower()):
+            pytest.skip(f"multi-process CPU backend unavailable: {blob[-300:]}")
+        raise AssertionError(blob[-3000:])
+
+    import json
+    import jax.numpy as jnp
+    a = json.load(open(outs[0]))
+    b = json.load(open(outs[1]))
+    assert a == b
+
+    from hsa_tpu import alphabet
+    from hsa_tpu.config import AlnOpt
+    from hsa_tpu.index.layout import build_device_index
+    from hsa_tpu.search import pigeon as pg
+    t = np.random.RandomState(42).randint(0, 4, 20000).astype(np.int8)
+    dev = build_device_index(t).as_jax()
+    opt = AlnOpt(max_diff=2, max_gapo=1)
+    rs = np.random.RandomState(0)
+    reads = []
+    for p in rs.randint(0, len(t) - 64, 8):
+        r = t[p:p + 60].copy()
+        r[rs.randint(60)] = (r[rs.randint(60)] + 1) % 4
+        reads.append(r)
+    both = reads + [alphabet.revcomp(r) for r in reads]
+    batch = pg.pack_pigeon_batch(both, n_seg=3, seed_len=opt.seed_len)
+    md = np.full(len(both), 2, np.int32)
+    trows = jnp.asarray(pg.pack_text_rows(t))
+    res = pg.pigeon_search(
+        dev, trows, jnp.asarray(batch["segs_rev"]),
+        jnp.asarray(batch["seg_lens"]), jnp.asarray(batch["seg_off"]),
+        jnp.asarray(batch["rw"]), jnp.asarray(batch["nmask"]),
+        jnp.asarray(batch["vmask"]), jnp.asarray(batch["seedmask"]),
+        jnp.asarray(batch["lens"]), jnp.asarray(md), opt, n_seg=3,
+        cand_cap=16)
+    np.testing.assert_array_equal(np.asarray(res.pos),
+                                  np.asarray(a["pos"], np.uint32))
+    np.testing.assert_array_equal(np.asarray(res.valid).astype(int),
+                                  np.asarray(a["valid"]))
