@@ -65,11 +65,21 @@ class RefMeta:
     total: int = 0
 
     def pos_to_ref(self, pos: int):
-        """concat position -> (seq_index, offset). -1 if out of range."""
-        i = int(np.searchsorted(self.starts, pos, side="right")) - 1
-        if i < 0 or pos >= self.starts[i] + self.lengths[i]:
+        """concat position -> (seq_index, offset). -1 if out of range.
+
+        Scalar-hot (3 calls per emitted record): uses bisect over cached
+        Python lists — ~8x cheaper than numpy searchsorted on scalars.
+        """
+        try:
+            sl, ll = self._starts_l, self._lengths_l
+        except AttributeError:
+            sl = self._starts_l = [int(x) for x in self.starts]
+            ll = self._lengths_l = [int(x) for x in self.lengths]
+        import bisect
+        i = bisect.bisect_right(sl, pos) - 1
+        if i < 0 or pos >= sl[i] + ll[i]:
             return -1, -1
-        return i, int(pos - self.starts[i])
+        return i, int(pos - sl[i])
 
     def count_amb(self, pos: int, glen: int) -> int:
         """# ambiguity-substituted bases in [pos, pos+glen) (XN tag)."""
@@ -89,7 +99,7 @@ class RefMeta:
     def span_ok(self, pos: int, glen: int) -> bool:
         """True iff [pos, pos+glen) stays inside one sequence."""
         i, off = self.pos_to_ref(pos)
-        return i >= 0 and off + glen <= int(self.lengths[i])
+        return i >= 0 and off + glen <= self._lengths_l[i]
 
     def to_dict(self):
         return dict(names=list(self.names), starts=self.starts.tolist(),
