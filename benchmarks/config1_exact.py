@@ -75,6 +75,38 @@ def main():
                matched_frac=round(float(np.asarray(m).mean()), 4),
                batch_ms=round(dt * 1e3, 1))
 
+def e2e():
+    """Production-path e2e companion metric (Aligner: both strands,
+    resolution + SAM text; second JSON line)."""
+    import time
+    setup_jax()
+    from hsa_tpu.config import AlnOpt
+    from hsa_tpu.pipeline import Aligner, ReadBatch
+    di, text = cached_index("ecoli_4M6_full", N)
+    text = np.asarray(text, np.int8)
+    opt = AlnOpt(max_diff=0, max_gapo=0)
+    al = Aligner.from_arrays(di, text, opt=opt, ladder=[8, 64],
+                             engine="auto")
+    fwd = sample_reads(text, B, L)
+    reads = ReadBatch(fwd, np.full(B, L, np.int32))
+    recs = al.align(reads)
+    mapped = sum(1 for r in recs if not (r.flag & 4)) / len(recs)
+    ITERS = 4
+
+    def batches():
+        for it in range(ITERS):
+            yield it * B, None, reads, None
+
+    t0 = time.time()
+    for _s, (lines, flags) in al.align_stream(batches(), emit="sam"):
+        assert lines
+    dt = (time.time() - t0) / ITERS
+    report("exact_reads_per_s_e2e", B / dt, "reads/s",
+           genome_mbp=round(N / 1e6, 1), batch=B,
+           scope="e2e 2-strand: pack+search+resolve+SAM",
+           mapped_frac=round(mapped, 4), batch_ms=round(dt * 1e3, 1))
+
 
 if __name__ == "__main__":
     main()
+    e2e()
