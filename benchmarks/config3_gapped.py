@@ -15,7 +15,7 @@ import numpy as np
 from common import cached_index, report, sample_reads, setup_jax
 
 N = int(os.environ.get("HSA_BENCH_C3_BP", "46700000"))
-B = int(os.environ.get("HSA_BENCH_BATCH", "8192"))
+B = int(os.environ.get("HSA_BENCH_BATCH", "16384"))
 L = 100
 ITERS = int(os.environ.get("HSA_BENCH_ITERS", "4"))
 

@@ -18,7 +18,7 @@ import numpy as np
 from common import cached_index, report, setup_jax
 
 N = int(os.environ.get("HSA_BENCH_C4_MBP", "250")) * 1_000_000
-B = int(os.environ.get("HSA_BENCH_PAIRS", "4096"))  # pairs
+B = int(os.environ.get("HSA_BENCH_PAIRS", "8192"))  # pairs
 L = 150
 ITERS = int(os.environ.get("HSA_BENCH_ITERS", "3"))
 

@@ -221,6 +221,68 @@ def resolve_batch_pe(text, meta, reads1, reads2, names, quals1, quals2,
                                        trunc1=trunc1, trunc2=trunc2)
 
 
+def _bulk_ungapped_cores(text, meta, jobs, opt):
+    """Vectorized record cores for ungapped occurrences.
+
+    jobs: list of (key, read int8[L], qual|None, Occurrence).  Returns
+    dict key -> AlnRecord with flag 0/16 (strand only), byte-equal to
+    :func:`hsa_tpu.resolve.samse._make_record` for ngap == 0 — the
+    per-record numpy calls it replaces dominated paired-end resolution.
+    """
+    from .samse import _DECODE_LUT
+    out = {}
+    if not jobs:
+        return out
+    n_text = len(text)
+    t_arr = np.asarray(text)
+    Lmax = max(len(r) for _k, r, _q, _o in jobs)
+    NJ = len(jobs)
+    rd = np.full((NJ, Lmax), 4, np.uint8)
+    pos = np.empty(NJ, np.int64)
+    lens = np.empty(NJ, np.int64)
+    for i, (_k, r, _q, o) in enumerate(jobs):
+        L = len(r)
+        a = np.asarray(r, np.uint8)
+        if o.strand:
+            a = np.where(a <= 3, 3 - a, a)[::-1].astype(np.uint8)
+        rd[i, :L] = a
+        pos[i] = o.pos
+        lens[i] = L
+    t = np.arange(Lmax)
+    win = t_arr[np.minimum(pos[:, None] + t[None, :], n_text - 1)]
+    mm = ((rd != win) | (rd > 3)) & (t[None, :] < lens[:, None])
+    rows, cs = np.nonzero(mm)
+    splits = np.searchsorted(rows, np.arange(NJ + 1))
+    chars = _DECODE_LUT[np.minimum(rd, 5)]
+    has_amb = bool(meta.amb_runs)
+    md_lut = "ACGTN"
+    for i, (key, r, qual, o) in enumerate(jobs):
+        L = int(lens[i])
+        mmp = cs[splits[i]:splits[i + 1]]
+        parts = []
+        prev = 0
+        for p in mmp.tolist():
+            parts.append(str(p - prev))
+            parts.append(md_lut[min(int(win[i, p]), 4)])
+            prev = p + 1
+        parts.append(str(L - prev))
+        ri, off = meta.pos_to_ref(o.pos)
+        seq = chars[i, :L].tobytes().decode()
+        q = (qual[::-1] if (o.strand and qual and qual != "*") else qual) \
+            or "*"
+        rec = AlnRecord("", 16 if o.strand else 0,
+                        meta.names[ri] if ri >= 0 else "*", off + 1, 0,
+                        f"{L}M", seq, q)
+        rec.tags.update(NM=len(mmp), MD="".join(parts), XM=o.nmm,
+                        XO=0, XG=0)
+        if has_amb:
+            xn = meta.count_amb(o.pos, L)
+            if xn:
+                rec.tags["XN"] = xn
+        out[key] = rec
+    return out
+
+
 def resolve_pe_from_occurrences(text, meta, reads1, reads2, names, quals1,
                                 quals2, occs1, occs2, opt: AlnOpt,
                                 peopt: PEOpt | None = None,
@@ -290,6 +352,24 @@ def resolve_pe_from_occurrences(text, meta, reads1, reads2, names, quals1,
             rescued_flags[j][1] = True
         choices[j][2] = True
 
+    # ---- phase C prep: bulk ungapped record cores ------------------------
+    jobs = []
+    for j in range(B):
+        o1, o2, proper = choices[j]
+        for endno, (o, reads_s, quals_s, occ) in enumerate((
+                (o1, reads1, quals1, occs1[j]), (o2, reads2, quals2, occs2[j]))):
+            if o is not None and o.ngapo + o.ngape == 0:
+                jobs.append(((j, endno),
+                             reads_s[j], quals_s[j] if quals_s else "*", o))
+            # XA alternates of this end (window members, ungapped only)
+            if o is not None and occ:
+                window = _window_occs(occ, opt.s_mm)
+                for x in window:
+                    if x is not o and x.ngapo + x.ngape == 0:
+                        jobs.append(((j, endno, id(x)), reads_s[j],
+                                     quals_s[j] if quals_s else "*", x))
+    cores = _bulk_ungapped_cores(text, meta, jobs, opt)
+
     # ---- phase C: record building ----------------------------------------
     records = []
     for j in range(B):
@@ -352,7 +432,12 @@ def resolve_pe_from_occurrences(text, meta, reads1, reads2, names, quals1,
             c1, c2, window = end_cc[endno]
             was_rescued = rescued[endno]
             mapq = 0 if was_rescued else end_mapq[endno]
-            rec = _make_record(text, meta, read, name, qual, o, mapq, opt)
+            rec = cores.get((j, endno))
+            if rec is not None:
+                rec.qname = name
+                rec.mapq = mapq
+            else:
+                rec = _make_record(text, meta, read, name, qual, o, mapq, opt)
             rec.flag = flag  # replaces _make_record's 0/16 (strand folded in)
             if occ and not was_rescued:
                 rec.tags["XT"] = "U" if c1 == 1 else "R"
@@ -365,7 +450,10 @@ def resolve_pe_from_occurrences(text, meta, reads1, reads2, names, quals1,
                 if alts and len(window) - 1 <= xa_cap:
                     parts = []
                     for x in alts:
-                        arec = _make_record(text, meta, read, name, qual, x, 0, opt)
+                        arec = cores.get((j, endno, id(x)))
+                        if arec is None:
+                            arec = _make_record(text, meta, read, name, qual,
+                                                x, 0, opt)
                         parts.append(
                             f"{arec.rname},{'-' if x.strand else '+'}{arec.pos},"
                             f"{arec.cigar},{arec.tags['NM']}")
