@@ -303,3 +303,23 @@ def test_pigeon_kmer_seeding_equivalent():
     for a, b in zip(o0, o1):
         assert [(x.pos, x.strand, x.score) for x in a] == \
                [(x.pos, x.strand, x.score) for x in b]
+
+
+def test_gapped_pigeon_budget5_six_segments():
+    """The config-3 shape: fnr-style budget 5, n_seg=6, G=5 — oracle
+    parity on reads with indel runs up to 4 plus mismatches."""
+    opt = AlnOpt(max_diff=5, max_gapo=1)
+    rs = np.random.RandomState(29)
+    reads = reads_with_indels(rs, 14, L=100, k=2, maxg=4)
+    reads += reads_with_planted(rs, 6, L=100, k=5)[0]
+    occs, fb = run_pigeon(reads, opt, md_val=5, n_seg=6)
+    n_checked = 0
+    for j, read in enumerate(reads):
+        if fb[j]:
+            continue
+        o = oracle_occ_set(read, opt, 5, 0)
+        o.update(oracle_occ_set(alphabet.revcomp(read), opt, 5, 1))
+        got, ow = _window_sets(occs[j], o, opt.s_mm)
+        assert got == ow, (j, sorted(got.items()), sorted(ow.items()))
+        n_checked += 1
+    assert n_checked >= 14
