@@ -493,27 +493,34 @@ class Aligner:
                      sopt: SamseOpt | None = None, emit: str = "records"):
         """Pipelined alignment over (start, names, reads, quals) batches.
 
-        Batch n+1's host pack + device search + result fetch runs on a
-        worker thread while the main thread resolves batch n's records —
-        numpy and the jax dispatch/transfer paths release the GIL in
-        their C regions, so device and host work genuinely overlap.
+        Up to TWO batches run ahead on worker threads while the main
+        thread resolves records: with depth 2, batch n+2's host pack and
+        upload overlap batch n+1's device execution (the device
+        serializes execution; transfers ride alongside) — numpy and the
+        jax dispatch/transfer paths release the GIL in their C regions.
         Yields (start, records) in input order.
         """
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
-        ex = ThreadPoolExecutor(max_workers=1)
+        ex = ThreadPoolExecutor(max_workers=2)
+        DEPTH = 2
         try:
-            prev = None
-            for s, bn, br, bq in batches:
-                fut = ex.submit(self._align_device, br,
-                                beam_width=beam_width, max_hits=max_hits)
-                if prev is not None:
-                    ps, pn, pq, pfut = prev
-                    yield ps, self._align_finish(
-                        pfut.result(), pn, pq, read_offset=ps, sopt=sopt,
-                        beam_width=beam_width, max_hits=max_hits, emit=emit)
-                prev = (s, bn, bq, fut)
-            if prev is not None:
-                ps, pn, pq, pfut = prev
+            pending = deque()
+            it = iter(batches)
+            exhausted = False
+            while True:
+                while not exhausted and len(pending) < DEPTH:
+                    nxt = next(it, None)
+                    if nxt is None:
+                        exhausted = True
+                        break
+                    s, bn, br, bq = nxt
+                    pending.append((s, bn, bq, ex.submit(
+                        self._align_device, br, beam_width=beam_width,
+                        max_hits=max_hits)))
+                if not pending:
+                    break
+                ps, pn, pq, pfut = pending.popleft()
                 yield ps, self._align_finish(
                     pfut.result(), pn, pq, read_offset=ps, sopt=sopt,
                     beam_width=beam_width, max_hits=max_hits, emit=emit)
