@@ -54,9 +54,12 @@ def main():
     mapped = sum(1 for r in recs if not (r.flag & 4)) / len(recs)
     proper = sum(1 for r in recs if r.flag & 2) / len(recs)
 
+    def batches():
+        for it in range(ITERS):
+            yield it * B, None, reads1, None, reads2, None
+
     t0 = time.time()
-    for it in range(ITERS):
-        recs = al.align_pe(reads1, reads2, read_offset=it * B)
+    for _s, recs in al.align_pe_stream(batches()):
         sam = "\n".join(r.to_sam() for r in recs)
         assert sam
     dt = (time.time() - t0) / ITERS

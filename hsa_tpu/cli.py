@@ -494,18 +494,26 @@ def cmd_align_pe(argv):
     # before the next starts — flat RSS regardless of input size
     total = 0
     trim = getattr(a, "trim_qual", 0)
-    for (s, n1, r1, q1), (s2, n2, r2, q2) in zip(
-            _stream_batches(a.reads1, a.batch, trim),
-            _stream_batches(a.reads2, a.batch, trim)):
-        assert s == s2 and len(r1) == len(r2), \
-            "mate files differ in read count"
-        total = s + len(r1)
-        if total <= done:
-            continue
-        with met.timer("align"):
-            recs = al.align_pe(r1, r2, n1, q1, q2, read_offset=s,
-                               beam_width=a.beam_width, peopt=peopt)
-        met.count("reads_in", 2 * len(r1))
+
+    def todo():
+        for (s, n1, r1, q1), (s2, n2, r2, q2) in zip(
+                _stream_batches(a.reads1, a.batch, trim),
+                _stream_batches(a.reads2, a.batch, trim)):
+            assert s == s2 and len(r1) == len(r2), \
+                "mate files differ in read count"
+            if s + len(r1) > done:
+                yield s, n1, r1, q1, r2, q2
+
+    stream = iter(al.align_pe_stream(todo(), beam_width=a.beam_width,
+                                     peopt=peopt))
+    while True:
+        with met.timer("align"):   # wall per batch incl. overlap wait
+            item = next(stream, None)
+        if item is None:
+            break
+        s, recs = item
+        total = s + len(recs) // 2
+        met.count("reads_in", len(recs))
         met.count("records_out", len(recs))
         met.count("reads_mapped",
                   sum(1 for r in recs if not (r.flag & 4)))

@@ -544,15 +544,37 @@ class Aligner:
         Routes through the pigeon engine when eligible, exactly like
         :meth:`align`; both ends of a fallback pair re-run on the beam.
         """
-        names = names or [f"pair{read_offset + i}" for i in range(len(reads1))]
+        h = self._align_pe_device(reads1, reads2, beam_width=beam_width,
+                                  max_hits=max_hits)
+        return self._align_pe_finish(h, reads1, reads2, names, quals1,
+                                     quals2, read_offset=read_offset,
+                                     beam_width=beam_width,
+                                     max_hits=max_hits, peopt=peopt)
+
+    def _align_pe_device(self, reads1, reads2, *, beam_width=None,
+                         max_hits=32):
+        """Phase A of the paired flow: both ends' pigeon search."""
         B = len(reads1)
         all_reads = list(reads1) + list(reads2)
         n_seg, elig = self._pigeon_split(all_reads)
         if n_seg is None:
+            return ("beam", B, self.search_batch_device(
+                all_reads, beam_width=beam_width, max_hits=max_hits))
+        psub = [j for j in elig]
+        res = (self._pigeon_raw([all_reads[j] for j in psub], n_seg)
+               if psub else None)
+        return ("pigeon", B, n_seg, elig, psub, res)
+
+    def _align_pe_finish(self, handle, reads1, reads2, names=None,
+                         quals1=None, quals2=None, *, read_offset: int = 0,
+                         beam_width=None, max_hits=32, peopt=None):
+        """Phase B of the paired flow: finalize + fallback + pairing."""
+        names = names or [f"pair{read_offset + i}" for i in range(len(reads1))]
+        B = len(reads1)
+        all_reads = list(reads1) + list(reads2)
+        if handle[0] == "beam":
             from .resolve.sampe import resolve_batch_pe
-            h = self.search_batch_device(all_reads, beam_width=beam_width,
-                                         max_hits=max_hits)
-            hf, hr = self.hits_from_device(h)
+            hf, hr = self.hits_from_device(handle[2])
             return resolve_batch_pe(self.text, self.meta, reads1, reads2,
                                     names, quals1, quals2,
                                     (hf[:B], hr[:B]), (hf[B:], hr[B:]),
@@ -561,15 +583,15 @@ class Aligner:
         from .resolve.samse import collect_occurrences
         from .resolve.sampe import resolve_pe_from_occurrences
         from .search import pigeon as pg
+        _, _, n_seg, elig, psub, res = handle
         eset = set(elig)
         occs1 = [[] for _ in range(B)]
         occs2 = [[] for _ in range(B)]
         trunc = [False] * 2 * B
-        psub = [j for j in elig]
         if psub:
             # vectorized finalize (array dedup) -> per-end lists
-            occ, fb = self.pigeon_occ_arrays([all_reads[j] for j in psub],
-                                             n_seg)
+            occ, fb = pg.pigeon_occ_arrays(res, len(psub), self.opt,
+                                           self._PIGEON_CAND_CAP)
             occs_p = pg.occ_arrays_to_lists(occ, len(psub))
         else:
             occs_p, fb = [], np.zeros(0, bool)
@@ -598,6 +620,40 @@ class Aligner:
                                            occs1, occs2, self.opt, peopt,
                                            read_offset=read_offset,
                                            trunc1=trunc[:B], trunc2=trunc[B:])
+
+
+    def align_pe_stream(self, batches, *, beam_width=None, max_hits=32,
+                        peopt=None):
+        """Depth-2 pipelined paired alignment over
+        (start, names, reads1, quals1, reads2, quals2) batches — the
+        paired twin of :meth:`align_stream`.  Yields (start, records).
+        """
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(max_workers=2)
+        DEPTH = 2
+        try:
+            pending = deque()
+            it = iter(batches)
+            exhausted = False
+            while True:
+                while not exhausted and len(pending) < DEPTH:
+                    nxt = next(it, None)
+                    if nxt is None:
+                        exhausted = True
+                        break
+                    s, n1, r1, q1, r2, q2 = nxt
+                    pending.append((s, n1, r1, q1, r2, q2, ex.submit(
+                        self._align_pe_device, r1, r2,
+                        beam_width=beam_width, max_hits=max_hits)))
+                if not pending:
+                    break
+                ps, n1, r1, q1, r2, q2, pfut = pending.popleft()
+                yield ps, self._align_pe_finish(
+                    pfut.result(), r1, r2, n1, q1, q2, read_offset=ps,
+                    beam_width=beam_width, max_hits=max_hits, peopt=peopt)
+        finally:
+            ex.shutdown(wait=True)
 
 
 def oracle_align_pe(text, meta, reads1, reads2, names, quals1, quals2, opt,
