@@ -236,7 +236,8 @@ def cmd_samse(argv):
     bsz = _sai_batch_size(a.sai)
     read_stream = _stream_batches(a.reads, bsz)
     n = 0
-    for (s, bn, br, bq), (s2, hf, hr) in zip(read_stream, _sai_stream(a.sai)):
+    for (s, bn, br, bq), (s2, hf, hr) in _zip_lockstep(read_stream,
+                                                        _sai_stream(a.sai)):
         assert s == s2 and len(br) == len(hf), \
             "read file does not match .sai"
         recs = resolve_batch_se(al.text, al.meta, br, bn, bq, hf, hr,
@@ -249,6 +250,21 @@ def cmd_samse(argv):
     print(f"[hsa-tpu samse] {n} reads", file=sys.stderr)
     if a.out:
         out.close()
+
+
+def _zip_lockstep(*iters):
+    """zip() that FAILS when the streams exhaust unevenly.
+
+    Plain zip() silently drops whole trailing batches when mate/.sai
+    files differ by a multiple of the batch size — the per-batch length
+    asserts never fire.  Streaming commands must use this instead.
+    """
+    from itertools import zip_longest
+    sentinel = object()
+    for tup in zip_longest(*iters, fillvalue=sentinel):
+        assert sentinel not in tup, \
+            "input streams exhausted unevenly (mate/.sai files do not match)"
+        yield tup
 
 
 def _manifest_path(out):
@@ -436,9 +452,9 @@ def cmd_sampe(argv):
     # streaming: both mates' read + .sai streams advance in lockstep;
     # insert-size inference is batch-local (matches align-pe)
     for (s, n1, r1, q1), (s2, n2, r2, q2), (s3, hf1, hr1), (s4, hf2, hr2) \
-            in zip(_stream_batches(a.reads1, bsz),
-                   _stream_batches(a.reads2, bsz),
-                   _sai_stream(a.sai1), _sai_stream(a.sai2)):
+            in _zip_lockstep(_stream_batches(a.reads1, bsz),
+                             _stream_batches(a.reads2, bsz),
+                             _sai_stream(a.sai1), _sai_stream(a.sai2)):
         assert s == s2 == s3 == s4 and len(r1) == len(r2) == len(hf1), \
             "mate/sai files do not match"
         recs = resolve_batch_pe(al.text, al.meta, r1, r2, n1, q1, q2,
@@ -496,7 +512,7 @@ def cmd_align_pe(argv):
     trim = getattr(a, "trim_qual", 0)
 
     def todo():
-        for (s, n1, r1, q1), (s2, n2, r2, q2) in zip(
+        for (s, n1, r1, q1), (s2, n2, r2, q2) in _zip_lockstep(
                 _stream_batches(a.reads1, a.batch, trim),
                 _stream_batches(a.reads2, a.batch, trim)):
             assert s == s2 and len(r1) == len(r2), \

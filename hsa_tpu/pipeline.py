@@ -198,7 +198,22 @@ class Aligner:
         (table build cost is amortized); 0 disables (tiny genomes/tests)."""
         return 12 if self.di.n >= (1 << 24) else 0
 
+    @property
+    def _lock(self):
+        # lazy so from_arrays/__init__ need no shared boilerplate; guards
+        # the lazy jit/table inits against align_stream's worker threads
+        # (ADVICE r3: duplicate kmer-table builds waste device memory)
+        import threading
+        lk = self.__dict__.get("_init_lock")
+        if lk is None:
+            lk = self.__dict__.setdefault("_init_lock", threading.RLock())
+        return lk
+
     def _kmer_tables(self):
+        with self._lock:
+            return self._kmer_tables_locked()
+
+    def _kmer_tables_locked(self):
         if not hasattr(self, "_ktabs"):
             import jax.numpy as jnp
             from .search.exact import kmer_table
@@ -218,6 +233,10 @@ class Aligner:
         return self._ktabs
 
     def _pigeon_search_fn(self, n_seg):
+        with self._lock:
+            return self._pigeon_search_fn_locked(n_seg)
+
+    def _pigeon_search_fn_locked(self, n_seg):
         key = n_seg
         f = self._pigeon_jit.get(key)
         if f is None:

@@ -116,15 +116,26 @@ def auto_anchor_tail(n: int, kmer_k: int, lo: int = 3, hi: int = 8) -> int:
     return max(lo, min(hi, need))
 
 
+MAX_GAP_RUN = 7       # diag shifts use 2*d bits with d <= 2G; G > 7 would
+                      # wrap uint32 shift amounts (undefined in XLA)
+
+
 def max_gap_run(opt, n_seg: int) -> int:
     """Static max one-run gap length G for this (opt, n_seg) compile.
 
     Non-fallback reads satisfy md <= n_seg - 1 and nmm + g <= md, so
     g <= 1 + min(max_gape, n_seg - 2); 0 when gaps are disabled.
+    Clamped to MAX_GAP_RUN (= 7): the diagonal extractors shift packed
+    words by 2*d with d up to 2G, and 2*2*8 = 32 would be an undefined
+    uint32 shift.  Reads whose budget admits a longer run than the clamp
+    are routed to the beam inside :func:`pigeon_search` (``md > G`` when
+    ``max_gape + 1 > G``).
     """
     if opt.max_gapo <= 0 or n_seg < 2:
         return 0
-    return 1 + min(opt.max_gape, n_seg - 2)
+    g = 1 + min(opt.max_gape, n_seg - 2)
+    assert 2 * 2 * MAX_GAP_RUN < 32
+    return min(g, MAX_GAP_RUN)
 
 
 def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
@@ -683,6 +694,10 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
     # 8. structural fallback (capacity misses / budget beyond pigeonhole)
     fallback = (seg_over | cand_over | pool_lost | short_fb | pool2_lost
                 | g_fb | (md > (n_seg - 1)))
+    if opt.max_gapo > 0 and opt.max_gape + 1 > G:
+        # the MAX_GAP_RUN clamp bound: reads whose budget admits a gap
+        # run longer than the screened G must take the exhaustive beam
+        fallback = fallback | (md > G)
     return PigeonResult(pos=pos_o, nmm=nmm_o, valid=val_o, fallback=fallback,
                         n_cand=jnp.minimum(total, CC),
                         g_q=g_q, g_key=g_key, g_read=g_read,
