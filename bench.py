@@ -44,6 +44,7 @@ READ_LEN = int(os.environ.get("HSA_BENCH_READ_LEN", "100"))
 LADDER = tuple(int(x) for x in
                os.environ.get("HSA_BENCH_LADDER", "8,64").split(",") if x)
 ITERS = int(os.environ.get("HSA_BENCH_ITERS", "6"))
+REPS = int(os.environ.get("HSA_BENCH_REPS", "3"))
 ENGINE = os.environ.get("HSA_BENCH_ENGINE", "auto")
 BASELINE_READS_PER_S = 2000.0
 CACHE = os.path.expanduser("~/.cache/hsa_tpu_bench")
@@ -133,7 +134,7 @@ def main():
     from hsa_tpu.search import pigeon as pg
     t0 = time.time()
     for _ in range(ITERS):
-        occ, fb = pg.pigeon_occ_arrays(res, len(reads), opt,
+        occ, fb, _miss = pg.pigeon_occ_arrays(res, len(reads), opt,
                                        aligner._PIGEON_CAND_CAP)
     fin_dt = (time.time() - t0) / ITERS
 
@@ -145,19 +146,29 @@ def main():
 
     # end-to-end timed loop: pipelined align_stream + SAM text per batch
     # (same flow as `hsa-tpu align`: batch n+1's device work overlaps
-    # batch n's host resolution)
+    # batch n's host resolution).  REPS independent campaigns; the
+    # HEADLINE is the MEDIAN campaign mean (round-4 honesty contract:
+    # shared-chip variance is ~2x run-to-run, so a single campaign mean
+    # over- or under-states by luck; the median band is what the driver
+    # should reproduce) with the best batch labeled separately.
     def batches():
         for it in range(ITERS):
             yield it * BATCH, None, reads, None
 
-    iter_ts = [time.time()]
-    for _s, (lines, flags) in aligner.align_stream(batches(), emit="sam"):
-        sam = "\n".join(lines)
-        iter_ts.append(time.time())
-    deltas = np.diff(iter_ts)
-    dt = float(deltas.mean())
+    rep_means = []
+    deltas_all = []
+    for _rep in range(REPS):
+        iter_ts = [time.time()]
+        for _s, (lines, flags) in aligner.align_stream(batches(), emit="sam"):
+            sam = "\n".join(lines)
+            iter_ts.append(time.time())
+        deltas = np.diff(iter_ts)
+        rep_means.append(float(deltas.mean()))
+        deltas_all.append(deltas)
+        assert len(sam) > 0
+    deltas = np.concatenate(deltas_all)
+    dt = float(np.median(rep_means))
     dt_min = float(deltas.min())
-    assert len(sam) > 0
 
     # occ-gather microbench (chained scan; rate of the hot primitive)
     from jax import lax
@@ -202,8 +213,10 @@ def main():
         "ladder": list(LADDER),
         "mapped_frac": round(mapped, 4),
         "fallback_frac": round(getattr(aligner, "last_fallback_frac", 0.0), 4),
+        "trunc_frac": round(getattr(aligner, "last_trunc_frac", 0.0), 4),
         "batch_ms": round(dt * 1e3, 1),
         "batch_ms_min": round(dt_min * 1e3, 1),
+        "campaign_means_ms": [round(m * 1e3, 1) for m in rep_means],
         "reads_per_s_best": round(BATCH / dt_min, 1),
         "device_step_reads_s": round(BATCH / dev_dt, 1),
         "device_step_ms": round(dev_dt * 1e3, 1),

@@ -39,6 +39,42 @@ def main():
     recs = al.align(reads, read_offset=0)   # warm/compile
     mapped = sum(1 for r in recs if not (r.flag & 4)) / len(recs)
 
+    stages = {}
+    if os.environ.get("HSA_BENCH_C3_STAGES"):
+        # per-stage attribution (VERDICT r3 #2): device step / host
+        # finalize / record resolution, plus a max_gapo=0 twin whose
+        # device-step delta isolates the gapped screen's cost
+        from hsa_tpu.search import pigeon as pg
+        from hsa_tpu.resolve.samse import resolve_from_occ_arrays
+        n_seg, elig = al._pigeon_split(reads)
+        res = al._pigeon_raw(reads, n_seg)           # warm
+        t0 = time.time()
+        for _ in range(ITERS):
+            res = al._pigeon_raw(reads, n_seg)
+        stages["device_ms"] = (time.time() - t0) / ITERS * 1e3
+        t0 = time.time()
+        for _ in range(ITERS):
+            occ, fb, miss = pg.pigeon_occ_arrays(res, B, opt,
+                                                 al._PIGEON_CAND_CAP)
+        stages["finalize_ms"] = (time.time() - t0) / ITERS * 1e3
+        t0 = time.time()
+        for _ in range(ITERS):
+            out = resolve_from_occ_arrays(text, al.meta, reads,
+                                          [f"r{i}" for i in range(B)], None,
+                                          occ, [False] * B, opt, emit="sam")
+        stages["resolve_ms"] = (time.time() - t0) / ITERS * 1e3
+        # gapped-screen delta: same engine with gaps disabled
+        from hsa_tpu.config import AlnOpt as _A
+        opt0 = _A(max_gapo=0)
+        al0 = Aligner.from_arrays(di, text, opt=opt0, ladder=[8, 64],
+                                  engine="auto", index_dir=kdir)
+        al0._pigeon_raw(reads, n_seg)                # warm/compile
+        t0 = time.time()
+        for _ in range(ITERS):
+            al0._pigeon_raw(reads, n_seg)
+        stages["device_nogap_ms"] = (time.time() - t0) / ITERS * 1e3
+        stages = {k: round(v, 1) for k, v in stages.items()}
+
     def batches():
         for it in range(ITERS):
             yield it * B, None, reads, None
@@ -54,7 +90,7 @@ def main():
            max_diff=int(opt.diff_budget(L)),
            mapped_frac=round(mapped, 4),
            fallback_frac=round(getattr(al, "last_fallback_frac", 0.0), 4),
-           batch_ms=round(dt * 1e3, 1))
+           batch_ms=round(dt * 1e3, 1), **stages)
 
 
 if __name__ == "__main__":

@@ -115,7 +115,7 @@ def main():
     pfn = sidx.pigeon_fn(popt, 3, trows, cand_cap=16)
     stats_pig = collective_stats(lambda b, m: pfn(batch, pmd), 0, 0)
     dt_pig, pres = timeit(lambda: pfn(batch, pmd), iters=2)
-    occs, fb = pg.pigeon_occurrences(pg.fetch_result(pres), len(reads),
+    occs, fb, _miss = pg.pigeon_occurrences(pg.fetch_result(pres), len(reads),
                                      popt, 16)
     mapped = sum(1 for o in occs if o) / len(reads)
 

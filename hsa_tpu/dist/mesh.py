@@ -243,7 +243,7 @@ class ShardedIndex:
             pos=P("data"), nmm=P("data"), valid=P("data"),
             fallback=P("data"), n_cand=P("data"),
             g_q=P("data", None), g_key=P("data", None), g_read=P("data"),
-            n_gate=P("data"))
+            n_gate=P("data"), n_missed=P("data"))
         f = jax.shard_map(core, mesh=self.mesh,
                           in_specs=(P(), *seg_specs, P("data", None),
                                     P("data", None), P("data", None),

@@ -27,3 +27,18 @@ def approx_mapq(c1: int, c2: int, nmm: int, max_diff: int) -> int:
     n = min(c2, 255)
     q = 23 - g_log_n(n)
     return max(q, 0)
+
+
+def trunc_capped_mapq(mapq: int, c2_total: int, missed: int) -> int:
+    """MAPQ ceiling for a read whose candidate enumeration was CAPPED.
+
+    The ``missed`` unexamined candidates could each be a window-quality
+    alternative, so the quality cannot exceed what the c2 branch of
+    :func:`approx_mapq` assigns for ``c2_total`` = found-window
+    alternates + missed (the lineage's max_entries truncation has the
+    same confidence semantics; docs/PARITY.md #14).  missed <= 0 leaves
+    mapq unchanged.
+    """
+    if missed <= 0:
+        return mapq
+    return min(mapq, max(23 - g_log_n(min(max(c2_total, 1), 255)), 0))

@@ -287,10 +287,16 @@ def resolve_pe_from_occurrences(text, meta, reads1, reads2, names, quals1,
                                 quals2, occs1, occs2, opt: AlnOpt,
                                 peopt: PEOpt | None = None,
                                 read_offset: int = 0, trunc1=None,
-                                trunc2=None):
+                                trunc2=None, c2x1=None, c2x2=None):
     """Core paired resolution over per-read Occurrence lists (from
-    collect_occurrences or the pigeon engine directly)."""
+    collect_occurrences or the pigeon engine directly).
+
+    ``c2x1/c2x2`` (optional): per-end unenumerated-candidate counts of
+    truncation-capped reads; they inflate the end's c2 and cap its MAPQ
+    (mapq.trunc_capped_mapq) exactly like the single-end resolver.
+    """
     from .samse import _span_possible
+    from .mapq import trunc_capped_mapq
     peopt = peopt or PEOpt()
     B = len(reads1)
     trunc1 = trunc1 if trunc1 is not None else [False] * B
@@ -385,18 +391,20 @@ def resolve_pe_from_occurrences(text, meta, reads1, reads2, names, quals1,
         # (docs/PARITY.md #11) for non-rescued proper pairs
         end_mapq = [0, 0]
         end_cc = [(0, 0, []), (0, 0, [])]
-        for endno, (L, o, occ) in enumerate(((L1, o1, occs1[j]),
-                                             (L2, o2, occs2[j]))):
+        for endno, (L, o, occ, c2x) in enumerate((
+                (L1, o1, occs1[j], c2x1), (L2, o2, occs2[j], c2x2))):
             if o is None:
                 continue
             window = _window_occs(occ, opt.s_mm) if occ else []
             c1 = min(sum(1 for x in window
                          if x.score == (occ[0].score if occ else 0)), 256)
-            c2 = min(len(window) - c1, 256) if occ else 0
+            extra = int(c2x[j]) if c2x is not None else 0
+            c2 = min((len(window) - c1 if occ else 0) + min(extra, 255), 256)
             end_cc[endno] = (c1, c2, window)
             if not rescued[endno]:
-                end_mapq[endno] = approx_mapq(c1 if occ else 1, c2, o.nmm,
-                                              opt.diff_budget(L))
+                end_mapq[endno] = trunc_capped_mapq(
+                    approx_mapq(c1 if occ else 1, c2, o.nmm,
+                                opt.diff_budget(L)), c2, extra)
         if proper and pair_stats[j] is not None and not any(rescued):
             n_best, subo, best_sc = pair_stats[j]
             end_mapq[0], end_mapq[1] = pair_mapq(

@@ -197,10 +197,17 @@ def resolve_batch_se(text, meta, reads, names, quals, hits_fwd, hits_rc,
 
 def resolve_from_occurrences(text, meta, reads, names, quals, occs, truncated,
                              opt: AlnOpt, sopt: SamseOpt | None = None,
-                             read_offset: int = 0):
+                             read_offset: int = 0, c2_extra=None):
     """Core resolution over per-read Occurrence lists (position-space hit
     sets — produced by collect_occurrences or directly by the pigeon
-    engine, whose candidates are already located)."""
+    engine, whose candidates are already located).
+
+    ``c2_extra[j]`` (optional int array): candidates the search engine
+    did NOT enumerate for read j (capped repeat intervals).  They inflate
+    c2 and cap MAPQ (mapq.trunc_capped_mapq) — the conservative
+    confidence treatment of a truncated hit set.
+    """
+    from .mapq import trunc_capped_mapq
     sopt = sopt or SamseOpt()
     records = []
     for j, read in enumerate(reads):
@@ -215,11 +222,13 @@ def resolve_from_occurrences(text, meta, reads, names, quals, occs, truncated,
         best = lst[0].score
         window = [o for o in lst if o.score <= best + opt.s_mm]
         c1 = min(sum(1 for o in window if o.score == best), 256)
-        c2 = min(len(window) - c1, 256)
+        extra = int(c2_extra[j]) if c2_extra is not None else 0
+        c2 = min(len(window) - c1 + min(extra, 255), 256)
         bests = [o for o in window if o.score == best]
         pick = bests[((read_offset + j) * _HASH) % (1 << 32) % len(bests)]
         max_diff = opt.diff_budget(L)
-        mapq = approx_mapq(c1, c2, pick.nmm, max_diff)
+        mapq = trunc_capped_mapq(approx_mapq(c1, c2, pick.nmm, max_diff),
+                                 c2, extra)
 
         rec = _make_record(text, meta, read, name, qual, pick, mapq, opt)
         rec.tags["XT"] = "U" if c1 == 1 else "R"
@@ -245,7 +254,8 @@ _DECODE_LUT = np.frombuffer(b"ACGTNN", dtype=np.uint8).copy()
 
 def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
                             opt: AlnOpt, sopt: SamseOpt | None = None,
-                            read_offset: int = 0, emit: str = "records"):
+                            read_offset: int = 0, emit: str = "records",
+                            c2_extra=None):
     """Vectorized resolution over flat occurrence arrays.
 
     ``occ`` is the dict produced by
@@ -319,7 +329,13 @@ def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
     else:
         nbest = nwin = np.zeros(0, np.int64)
     c1 = np.minimum(nbest, 256)
-    c2 = np.minimum(nwin - nbest, 256)
+    # c2_extra: unenumerated candidates of truncated reads inflate c2
+    # and cap MAPQ below (the loop twin applies trunc_capped_mapq)
+    if c2_extra is not None and rid.size:
+        x_grp = np.minimum(np.asarray(c2_extra, np.int64)[grp_rid], 255)
+    else:
+        x_grp = None
+    c2 = np.minimum(nwin - nbest + (x_grp if x_grp is not None else 0), 256)
     k = (((read_offset + grp_rid).astype(np.uint64) * np.uint64(_HASH))
          % np.uint64(1 << 32)) % np.maximum(nbest, 1).astype(np.uint64)
     pick_idx = grp_first + k.astype(np.int64)
@@ -345,6 +361,12 @@ def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
                         np.where(p_nmm == maxdiff[mq_g], 25,
                                  np.where(c2 == 0, 37,
                                           np.maximum(23 - glog, 0))))
+    if x_grp is not None:
+        # truncated enumeration: MAPQ cannot exceed the c2-branch value
+        # for the inflated count (mapq.trunc_capped_mapq, vector form)
+        mapq_grp = np.where(x_grp > 0,
+                            np.minimum(mapq_grp, np.maximum(23 - glog, 0)),
+                            mapq_grp)
 
     # vectorized ungapped pick refinement: NM + mismatch positions
     n_text = len(text)

@@ -88,6 +88,9 @@ class PigeonResult(NamedTuple):
     g_key: jnp.ndarray      # uint32[GPOOL, GC_SLOTS] packed score/g/nmm
     g_read: jnp.ndarray     # int32[GPOOL] owning read lane
     n_gate: jnp.ndarray     # int32[] live pool-2 lanes
+    n_missed: jnp.ndarray   # int32[B] candidates NOT enumerated (capped
+                            # repeat intervals / slot / pool overflow);
+                            # > 0 marks the lane's hit set TRUNCATED
 
 
 def pack_text_rows(text: np.ndarray) -> np.ndarray:
@@ -427,19 +430,82 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
         k, l, matched = exact_search(idx, segs_rev, seg_lens,
                                      init=(k0, l0, alive0))
         short_fb = seg_short.astype(bool).reshape(n_seg, B).any(axis=0)
+    seg_off = jnp.asarray(seg_off, I32)
     w = jnp.where(matched, l - k + U32(1), U32(0))
-    ok = matched & (w <= U32(seg_cap))
-    c = jnp.where(ok, w, U32(0)).astype(I32).reshape(n_seg, B)
+
+    # 1b. wide-anchor rescue (repeat tolerance): anchors whose interval
+    # exceeds seg_cap are extended backward through their OWN segment —
+    # completeness holds because an alignment whose segment is exact has
+    # every suffix of the segment exact; if the extension empties (or
+    # hits an N) the FULL segment occurs nowhere / cannot be exact, so
+    # the lane is dropped outright.  Lanes exhausting the segment while
+    # still wide are genuine repeats: enumeration below caps them at
+    # seg_cap occurrences and counts the rest in ``n_missed`` (the
+    # lineage's max_entries-truncation analog) instead of falling back.
+    R = k.shape[0]
+    lane_id = jnp.arange(R, dtype=I32) % B
+    s_idx = jnp.arange(R, dtype=I32) // B
+    Lr = jnp.take(lens, lane_id)
+    a_start = (Lr * s_idx) // n_seg
+    rem = seg_off - a_start
+    wide0 = matched & (w > U32(seg_cap)) & (rem > 0)
+    WPOOL = max(R // 4, 64)
+    n_wide = wide0.sum()
+    widx = jnp.nonzero(wide0, size=WPOOL, fill_value=R)[0]
+    in_w = jnp.arange(WPOOL) < jnp.minimum(n_wide, WPOOL)
+    gix = jnp.minimum(widx, R - 1)
+    wlane = jnp.take(lane_id, gix)
+    wa = jnp.take(a_start, gix)
+    EXT = max((16 * DW + n_seg - 1) // n_seg + 1, 1)  # segment-length bound
+    rw_flat = rw.reshape(-1)
+    nm_flat = nmask.reshape(-1)
+    nwords = rw_flat.shape[0]
+
+    def ext_cond(carry):
+        t, _ek, _el, _eo, alive, _kl = carry
+        return (t < EXT) & alive.any()
+
+    def ext_body(carry):
+        t, ek, el, eoff, alive, kill = carry
+        p = eoff - 1                       # alive => eoff > wa >= 0
+        flat = jnp.clip(wlane * RW + (p >> 4), 0, nwords - 1)
+        sh_p = U32(2) * (p & 15).astype(U32)
+        pw = lax.optimization_barrier(jnp.take(rw_flat, flat))
+        base = (pw >> sh_p) & U32(3)
+        is_n = ((jnp.take(nm_flat, flat) >> sh_p) & U32(1)) == U32(1)
+        k2, l2 = fm.extend(idx, base, ek, el)
+        bad = is_n | (k2 > l2)
+        kill = kill | (alive & bad)
+        good = alive & ~bad
+        ek = jnp.where(good, k2, ek)
+        el = jnp.where(good, l2, el)
+        eoff = jnp.where(good, eoff - 1, eoff)
+        alive = good & (el - ek + U32(1) > U32(seg_cap)) & (eoff > wa)
+        return (t + 1, ek, el, eoff, alive, kill)
+
+    _, ek, el, eoff, _, killw = lax.while_loop(
+        ext_cond, ext_body,
+        (jnp.int32(0), jnp.take(k, gix), jnp.take(l, gix),
+         jnp.take(seg_off, gix), in_w, jnp.zeros(WPOOL, bool)))
+    k = k.at[widx].set(ek, mode="drop")
+    l = l.at[widx].set(el, mode="drop")
+    seg_off = seg_off.at[widx].set(eoff, mode="drop")
+    matched = matched.at[widx].set(~killw, mode="drop")
+    w = jnp.where(matched, l - k + U32(1), U32(0))
+
+    c_full = jnp.where(matched, w, U32(0)).astype(I32)
+    c = jnp.minimum(c_full, seg_cap).reshape(n_seg, B)
+    n_missed = (c_full - jnp.minimum(c_full, seg_cap)) \
+        .reshape(n_seg, B).sum(axis=0)
     kk = k.reshape(n_seg, B)
-    soff = seg_off.reshape(n_seg, B).astype(I32)
-    seg_over = (matched & (w > U32(seg_cap))).reshape(n_seg, B).any(axis=0)
+    soff = seg_off.reshape(n_seg, B)
 
     # 2. slot assignment (read-major flat [B*CC]: read j's slots contiguous)
     starts = [jnp.zeros(B, I32)]
     for s in range(1, n_seg):
         starts.append(starts[-1] + c[s - 1])
     total = starts[-1] + c[n_seg - 1]
-    cand_over = total > CC
+    n_missed = n_missed + jnp.maximum(total - CC, 0)
 
     slot = jnp.broadcast_to(jnp.arange(CC, dtype=I32)[:, None], (CC, B))
     ranks = jnp.zeros((CC, B), U32)
@@ -453,19 +519,27 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
         filled = filled | inseg
 
     # read-major flattening: flat index = read*CC + slot
-    filled_f = filled.T.reshape(-1)
     ranks_f = ranks.T.reshape(-1)
     soff_f = soff_m.T.reshape(-1)
 
-    # 3. dense pool compaction (dead slots pay nothing downstream)
-    n_filled = filled_f.sum()
-    cidx = jnp.nonzero(filled_f, size=POOL, fill_value=B * CC)[0]
+    # 3. dense pool compaction (dead slots pay nothing downstream).
+    # Compaction priority is SLOT-MAJOR: every lane's first candidate
+    # outranks any lane's second, so pool overflow shaves candidates
+    # evenly across lanes instead of starving the batch tail (repeat-
+    # dense batches overflow routinely; fairness keeps every lane's
+    # best candidates so overflow degrades MAPQ, not mapping).
+    filled_s = filled.reshape(-1)              # [CC*B] slot-major
+    n_filled = filled_s.sum()
+    sidx = jnp.nonzero(filled_s, size=POOL, fill_value=CC * B)[0]
+    cidx = jnp.where(sidx < CC * B,
+                     (sidx % B) * CC + sidx // B, B * CC)
     in_pool = jnp.arange(POOL) < n_filled
     pool_over = n_filled > POOL
-    # reads with a filled slot at/after the pool cutoff lost candidates
-    cutoff = jnp.where(pool_over, cidx[POOL - 1], jnp.int32(B * CC))
-    lost = filled_f & (jnp.arange(B * CC) > cutoff)
-    pool_lost = lost.reshape(B, CC).any(axis=1)
+    # candidates at/after the pool cutoff are lost; counted into
+    # n_missed (truncation), not a fallback
+    cutoff = jnp.where(pool_over, sidx[POOL - 1], jnp.int32(CC * B))
+    lost = filled_s & (jnp.arange(CC * B) > cutoff)
+    n_missed = n_missed + lost.reshape(CC, B).sum(axis=0)
 
     pranks = jnp.take(ranks_f, cidx)          # clamped at fill; masked below
     psoff = jnp.take(soff_f, cidx)
@@ -691,9 +765,12 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
         g_read = jnp.full(1, B, I32)
         n_gate = jnp.int32(0)
 
-    # 8. structural fallback (capacity misses / budget beyond pigeonhole)
-    fallback = (seg_over | cand_over | pool_lost | short_fb | pool2_lost
-                | g_fb | (md > (n_seg - 1)))
+    # 8. structural fallback (shape/budget beyond the pigeonhole screen).
+    # Capacity misses (wide repeat intervals, slot/pool overflow) are NOT
+    # fallbacks anymore: they enumerate a capped candidate subset and
+    # report the shortfall in n_missed; the caller re-runs a truncated
+    # read on the beam only when NO candidate verified.
+    fallback = short_fb | pool2_lost | g_fb | (md > (n_seg - 1))
     if opt.max_gapo > 0 and opt.max_gape + 1 > G:
         # the MAX_GAP_RUN clamp bound: reads whose budget admits a gap
         # run longer than the screened G must take the exhaustive beam
@@ -701,7 +778,8 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
     return PigeonResult(pos=pos_o, nmm=nmm_o, valid=val_o, fallback=fallback,
                         n_cand=jnp.minimum(total, CC),
                         g_q=g_q, g_key=g_key, g_read=g_read,
-                        n_gate=jnp.asarray(n_gate, I32))
+                        n_gate=jnp.asarray(n_gate, I32),
+                        n_missed=n_missed)
 
 
 def unpack_gap_key(key):
@@ -751,7 +829,10 @@ def pigeon_occurrences(res: PigeonResult, B: int, opt, cand_cap: int):
     complements (the ``pipeline.search_batch_device`` convention).
     Merges the ungapped candidate slots with the gapped pool-2 classes;
     dedup keeps the minimum score per (pos, strand).
-    Returns (occs per read [B], fallback bool[B]).
+    Returns (occs per read [B], fallback bool[B], missed int32[B]) —
+    ``missed[j] > 0`` means read j's candidate enumeration was CAPPED
+    (repeat intervals / slot / pool overflow): its occurrence list is a
+    truncated subset and MAPQ must be suppressed accordingly.
     """
     from ..resolve.samse import Occurrence
     CC = cand_cap
@@ -763,6 +844,8 @@ def pigeon_occurrences(res: PigeonResult, B: int, opt, cand_cap: int):
     B2 = pos.shape[0]
     assert B2 == 2 * B, (B2, B)
     fb = fallback[:B] | fallback[B:]
+    miss_all = np.asarray(res.n_missed, np.int64)
+    missed = miss_all[:B] + miss_all[B:]
 
     # gapped pool-2 entries grouped by lane
     g_read = np.asarray(res.g_read)
@@ -802,7 +885,7 @@ def pigeon_occurrences(res: PigeonResult, B: int, opt, cand_cap: int):
                     if better(d.get(key), score, 1, g - 1, nm):
                         d[key] = Occurrence(q, strand, score, nm, 1, g - 1)
         occs.append(sorted(d.values(), key=lambda o: (o.score, o.strand, o.pos)))
-    return occs, fb
+    return occs, fb, missed
 
 
 def pigeon_occ_arrays(res: PigeonResult, B: int, opt, cand_cap: int):
@@ -810,11 +893,12 @@ def pigeon_occ_arrays(res: PigeonResult, B: int, opt, cand_cap: int):
     per-occurrence objects (the loop twin is :func:`pigeon_occurrences`;
     tested equal).
 
-    Returns (occ dict, fallback bool[B]).  The dict holds numpy arrays
-    ``rid, pos, strand, score, nmm, ngapo, ngape`` deduped per
-    (rid, strand, pos) by minimum (score, ngapo, ngape, nmm) and sorted
-    by (rid, score, strand, pos) — the order the resolution layer
-    consumes.  Entries of fallback reads are dropped.
+    Returns (occ dict, fallback bool[B], missed int32[B]; see
+    :func:`pigeon_occurrences` for the ``missed`` contract).  The dict
+    holds numpy arrays ``rid, pos, strand, score, nmm, ngapo, ngape``
+    deduped per (rid, strand, pos) by minimum (score, ngapo, ngape, nmm)
+    and sorted by (rid, score, strand, pos) — the order the resolution
+    layer consumes.  Entries of fallback reads are dropped.
     """
     CC = cand_cap
     s_mm = opt.s_mm
@@ -825,6 +909,8 @@ def pigeon_occ_arrays(res: PigeonResult, B: int, opt, cand_cap: int):
     B2 = pos.shape[0]
     assert B2 == 2 * B, (B2, B)
     fb = fallback[:B] | fallback[B:]
+    miss_all = np.asarray(res.n_missed, np.int64)
+    missed = miss_all[:B] + miss_all[B:]
 
     li, si = np.nonzero(valid)
     u_pos = pos[li, si].astype(np.int64)
@@ -877,7 +963,7 @@ def pigeon_occ_arrays(res: PigeonResult, B: int, opt, cand_cap: int):
     occ = dict(rid=rid[order], pos=o_pos[order], strand=o_str[order],
                score=o_sc[order], nmm=o_nmm[order], ngapo=o_go[order],
                ngape=o_ge[order])
-    return occ, fb
+    return occ, fb, missed
 
 
 def occ_arrays_to_lists(occ, B):

@@ -130,7 +130,7 @@ def test_sharded_pigeon_matches_single(env):
         cand_cap=16)
     r2 = sidx.pigeon_fn(opt, n_seg, trows, cand_cap=16)(batch, md)
 
-    for field in ("pos", "nmm", "valid", "fallback", "n_cand"):
+    for field in ("pos", "nmm", "valid", "fallback", "n_cand", "n_missed"):
         np.testing.assert_array_equal(np.asarray(getattr(r1, field)),
                                       np.asarray(getattr(r2, field)),
                                       err_msg=field)
@@ -149,8 +149,8 @@ def test_sharded_pigeon_matches_single(env):
         return out
     assert gap_sets(r1, len(both)) == gap_sets(r2, len(both))
     n_lanes = len(both)
-    occ1, fb1 = pg.pigeon_occurrences(r1, n_lanes // 2, opt, 16)
-    occ2, fb2 = pg.pigeon_occurrences(r2, n_lanes // 2, opt, 16)
+    occ1, fb1, _m1 = pg.pigeon_occurrences(r1, n_lanes // 2, opt, 16)
+    occ2, fb2, _m2 = pg.pigeon_occurrences(r2, n_lanes // 2, opt, 16)
     assert (fb1 == fb2).all()
     for a, b in zip(occ1, occ2):
         assert [(o.pos, o.strand, o.score, o.nmm, o.ngapo, o.ngape)

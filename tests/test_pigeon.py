@@ -53,7 +53,7 @@ def run_pigeon(reads, opt, md_val=2, n_seg=3):
         jnp.asarray(batch["vmask"]), jnp.asarray(batch["seedmask"]),
         jnp.asarray(batch["lens"]), jnp.asarray(md), opt, n_seg=n_seg,
         cand_cap=32, gpool=4 * len(both))
-    return pigeon_occurrences(res, len(reads), opt, 32)
+    return pigeon_occurrences(res, len(reads), opt, 32)[:2]
 
 
 def oracle_occ_set(read, opt, md_val, strand):
@@ -286,7 +286,7 @@ def test_pigeon_kmer_seeding_equivalent():
                        jnp.asarray(b0["vmask"]), jnp.asarray(b0["seedmask"]),
                        jnp.asarray(b0["lens"]), jnp.asarray(md), OPT_MM,
                        n_seg=3, cand_cap=32)
-    o0, f0 = pigeon_occurrences(r0, len(reads), OPT_MM, 32)
+    o0, f0, _m0 = pigeon_occurrences(r0, len(reads), OPT_MM, 32)
 
     b1 = pack_pigeon_batch(both, n_seg=3, seed_len=OPT_MM.seed_len, kmer_k=K)
     r1 = pigeon_search(DEV, TEXT_ROWS, jnp.asarray(b1["segs_rev"]),
@@ -298,7 +298,7 @@ def test_pigeon_kmer_seeding_equivalent():
                        kmer_seed=(tk, tl, jnp.asarray(b1["kmer"]),
                                   jnp.asarray(b1["kmer_ok"]),
                                   jnp.asarray(b1["seg_short"])))
-    o1, f1 = pigeon_occurrences(r1, len(reads), OPT_MM, 32)
+    o1, f1, _m1 = pigeon_occurrences(r1, len(reads), OPT_MM, 32)
     assert (f0 == f1).all()
     for a, b in zip(o0, o1):
         assert [(x.pos, x.strand, x.score) for x in a] == \

@@ -1,0 +1,228 @@
+"""Repeat tolerance of the pigeon engine (round-4 capability).
+
+The lineage engine bounds repetitive work in-engine (``bwtgap.c``'s
+max_entries cap, SURVEY.md §2 inexact-core row); the pigeon analog is:
+(a) wide anchors extend backward through their own segment until the
+interval narrows (completeness: an exact segment has every suffix
+exact), (b) segments still wide after full extension enumerate a capped
+occurrence sample and report the shortfall in ``n_missed`` instead of
+falling back to the beam, and (c) truncated reads get conservatively
+capped MAPQ (docs/PARITY.md #14).
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from hsa_tpu import alphabet
+from hsa_tpu.config import AlnOpt
+from hsa_tpu.index.layout import build_device_index
+from hsa_tpu.search.pigeon import (pack_pigeon_batch, pack_text_rows,
+                                   pigeon_search, pigeon_occurrences)
+from hsa_tpu.search.exact import kmer_table
+
+OPT = AlnOpt(max_diff=2, max_gapo=1)
+SEG_CAP = 8      # small cap so modest copy numbers exercise the paths
+
+
+def build_repeat_genome(seed=5, n=60_000, unit_len=300, copies=40):
+    """iid background + one exact high-copy repeat family.
+
+    Returns (text, copy_starts).  Every copy is EXACT so a read inside
+    the family maps equally to every copy.
+    """
+    rs = np.random.RandomState(seed)
+    g = rs.randint(0, 4, n).astype(np.int8)
+    unit = rs.randint(0, 4, unit_len).astype(np.int8)
+    starts = []
+    step = (n // 2) // (copies + 2)   # copies confined to the first half
+    for i in range(copies):
+        p = (i + 1) * step
+        g[p:p + unit_len] = unit
+        starts.append(p)
+    return g, np.asarray(starts)
+
+
+TEXT, COPIES = build_repeat_genome()
+DEV = build_device_index(TEXT, sa_intv=8).as_jax()
+TEXT_ROWS = jnp.asarray(pack_text_rows(TEXT))
+
+
+def run(reads, opt=OPT, md_val=2, n_seg=3, kmer_k=0, anchor_tail=6,
+        seg_cap=SEG_CAP, cand_cap=16):
+    rc = [alphabet.revcomp(r) for r in reads]
+    both = list(reads) + rc
+    batch = pack_pigeon_batch(both, n_seg=n_seg, seed_len=opt.seed_len,
+                              kmer_k=kmer_k, anchor_tail=anchor_tail)
+    md = np.full(len(both), md_val, np.int32)
+    seed = None
+    if kmer_k:
+        tk, tl = kmer_table(DEV, kmer_k)
+        seed = (tk, tl, jnp.asarray(batch["kmer"]),
+                jnp.asarray(batch["kmer_ok"]),
+                jnp.asarray(batch["seg_short"]))
+    res = pigeon_search(
+        DEV, TEXT_ROWS, jnp.asarray(batch["segs_rev"]),
+        jnp.asarray(batch["seg_lens"]), jnp.asarray(batch["seg_off"]),
+        jnp.asarray(batch["rw"]), jnp.asarray(batch["nmask"]),
+        jnp.asarray(batch["vmask"]), jnp.asarray(batch["seedmask"]),
+        jnp.asarray(batch["lens"]), jnp.asarray(md), opt, n_seg=n_seg,
+        cand_cap=cand_cap, seg_cap=seg_cap, kmer_seed=seed)
+    return pigeon_occurrences(res, len(reads), opt, cand_cap)
+
+
+def test_in_repeat_read_truncates_not_fallback():
+    """A read fully inside a 40-copy exact repeat: capped enumeration,
+    missed > 0, NOT a beam fallback, and the found subset verifies."""
+    L = 90
+    read = TEXT[COPIES[3] + 50:COPIES[3] + 50 + L].copy()
+    occs, fb, missed = run([read])
+    assert not fb[0]
+    assert missed[0] > 0          # 40 copies >> seg_cap=8
+    assert len(occs[0]) >= 2      # a verified multi-mapping subset
+    # every reported position is a genuine exact placement
+    for o in occs[0]:
+        assert o.nmm == 0 and o.strand == 0
+        assert np.array_equal(TEXT[o.pos:o.pos + L], read)
+
+
+def test_straddle_read_found_via_unique_flank():
+    """A read straddling the repeat boundary keeps its true position:
+    the flank segment is unique even when repeat segments are wide."""
+    L = 90
+    p = COPIES[5] - 40            # 40bp unique flank + 50bp repeat
+    read = TEXT[p:p + L].copy()
+    occs, fb, missed = run([read])
+    assert not fb[0]
+    assert any(o.pos == p and o.nmm == 0 for o in occs[0]), \
+        [(o.pos, o.nmm) for o in occs[0]]
+
+
+def test_wide_anchor_extension_recovers_uniqueness():
+    """K-mer-seeded anchors that are repetitive at tail length but
+    unique over the full segment: the extension loop must narrow them
+    (missed == 0, exact occurrence set)."""
+    L = 90
+    # read inside iid background, but plant its 3' 16-mer (the K+tail
+    # anchor of the last segment) at many other locations
+    rs = np.random.RandomState(17)
+    text = TEXT.copy()
+    p = 1000
+    read = text[p:p + L].copy()
+    K, tail = 12, 4
+    anchor = read[L - (K + tail):L]
+    spots = []
+    for i in range(30):
+        q = 30_000 + i * 600
+        if abs(q - p) > 200:
+            text[q:q + K + tail] = anchor
+            spots.append(q)
+    dev = build_device_index(text, sa_intv=8).as_jax()
+    trows = jnp.asarray(pack_text_rows(text))
+    tk, tl = kmer_table(dev, K)
+    rc = [alphabet.revcomp(read)]
+    both = [read] + rc
+    batch = pack_pigeon_batch(both, n_seg=3, seed_len=OPT.seed_len,
+                              kmer_k=K, anchor_tail=tail)
+    md = np.full(2, 2, np.int32)
+    res = pigeon_search(
+        dev, trows, jnp.asarray(batch["segs_rev"]),
+        jnp.asarray(batch["seg_lens"]), jnp.asarray(batch["seg_off"]),
+        jnp.asarray(batch["rw"]), jnp.asarray(batch["nmask"]),
+        jnp.asarray(batch["vmask"]), jnp.asarray(batch["seedmask"]),
+        jnp.asarray(batch["lens"]), jnp.asarray(md), OPT, n_seg=3,
+        cand_cap=16, seg_cap=SEG_CAP,
+        kmer_seed=(tk, tl, jnp.asarray(batch["kmer"]),
+                   jnp.asarray(batch["kmer_ok"]),
+                   jnp.asarray(batch["seg_short"])))
+    occs, fb, missed = pigeon_occurrences(res, 1, OPT, 16)
+    assert not fb[0]
+    # the wide 16-mer anchor extended to the unique full segment:
+    # no truncation, and the true position is found
+    assert missed[0] == 0, missed
+    assert any(o.pos == p and o.nmm == 0 for o in occs[0])
+
+
+def test_extension_empty_interval_drops_segment():
+    """If extending a wide anchor empties the interval, the full segment
+    occurs nowhere — the segment contributes nothing, but OTHER exact
+    segments still find the read (completeness preserved)."""
+    L = 90
+    # chimeric read: first 2 segments from position p, last segment's
+    # (K+tail)-anchor planted widely BUT its full segment is chimeric
+    # (occurs nowhere): extension must empty and drop it
+    K, tail = 12, 4
+    rs = np.random.RandomState(23)
+    text = TEXT.copy()
+    p = 2000
+    read = text[p:p + L].copy()
+    # make the final segment alien except its planted anchor
+    alien = rs.randint(0, 4, 30).astype(np.int8)
+    read[60:90] = alien
+    anchor = read[L - (K + tail):L]
+    for i in range(30):
+        q = 31_000 + i * 700
+        text[q:q + K + tail] = anchor
+    dev = build_device_index(text, sa_intv=8).as_jax()
+    trows = jnp.asarray(pack_text_rows(text))
+    tk, tl = kmer_table(dev, K)
+    both = [read, alphabet.revcomp(read)]
+    batch = pack_pigeon_batch(both, n_seg=3, seed_len=OPT.seed_len,
+                              kmer_k=K, anchor_tail=tail)
+    md = np.full(2, 2, np.int32)
+    res = pigeon_search(
+        dev, trows, jnp.asarray(batch["segs_rev"]),
+        jnp.asarray(batch["seg_lens"]), jnp.asarray(batch["seg_off"]),
+        jnp.asarray(batch["rw"]), jnp.asarray(batch["nmask"]),
+        jnp.asarray(batch["vmask"]), jnp.asarray(batch["seedmask"]),
+        jnp.asarray(batch["lens"]), jnp.asarray(md), OPT, n_seg=3,
+        cand_cap=16, seg_cap=SEG_CAP,
+        kmer_seed=(tk, tl, jnp.asarray(batch["kmer"]),
+                   jnp.asarray(batch["kmer_ok"]),
+                   jnp.asarray(batch["seg_short"])))
+    occs, fb, missed = pigeon_occurrences(res, 1, OPT, 16)
+    assert not fb[0]
+    assert missed[0] == 0, missed   # wide anchor dropped, not truncated
+    # read has ~30 alien mismatches: no alignment within budget exists
+    assert occs[0] == []
+
+
+def test_trunc_mapq_suppressed_end_to_end():
+    """Aligner.align on in-repeat reads: records map with LOW mapq
+    (multi-mapping or truncation-capped), never confidently."""
+    from hsa_tpu.pipeline import Aligner
+    di = build_device_index(TEXT, sa_intv=8)
+    al = Aligner.from_arrays(di, TEXT, opt=OPT)
+    al._PIGEON_SEG_CAP = SEG_CAP
+    al._pigeon_jit = {}
+    L = 90
+    reads = [TEXT[c + 30:c + 30 + L].copy() for c in COPIES[:6]]
+    recs = al.align(reads)
+    assert al.last_fallback_frac == 0.0
+    for r in recs:
+        assert not (r.flag & 4), "in-repeat read must still map"
+        assert r.mapq < 20, (r.mapq, r.tags)
+    # X1 suppressed on truncated reads (lineage truncation semantics)
+    trunc_frac = getattr(al, "last_trunc_frac", 0.0)
+    assert trunc_frac > 0.0
+
+
+def test_unique_reads_unaffected():
+    """iid-background reads: no truncation, exact behavior as before."""
+    rs = np.random.RandomState(31)
+    L = 90
+    reads = []
+    poss = []
+    for _ in range(12):
+        p = rs.randint(45_000, 59_000 - L)   # past the repeat region
+        r = TEXT[p:p + L].copy()
+        for _ in range(rs.randint(0, 3)):
+            q = rs.randint(0, L)
+            r[q] = (r[q] + rs.randint(1, 4)) % 4
+        reads.append(r)
+        poss.append(p)
+    occs, fb, missed = run(reads)
+    assert not fb.any()
+    assert (missed == 0).all()
+    for j, p in enumerate(poss):
+        assert any(o.pos == p for o in occs[j]), j

@@ -71,8 +71,9 @@ def run_both(reads, opt, md_val, n_seg):
         jnp.asarray(batch["vmask"]), jnp.asarray(batch["seedmask"]),
         jnp.asarray(batch["lens"]), jnp.asarray(md), opt, n_seg=n_seg,
         cand_cap=32, gpool=4 * len(both))
-    lists, fb_l = pigeon_occurrences(res, len(reads), opt, 32)
-    arrs, fb_a = pigeon_occ_arrays(res, len(reads), opt, 32)
+    lists, fb_l, m_l = pigeon_occurrences(res, len(reads), opt, 32)
+    arrs, fb_a, m_a = pigeon_occ_arrays(res, len(reads), opt, 32)
+    assert (m_l == m_a).all()
     return lists, fb_l, arrs, fb_a
 
 
