@@ -54,7 +54,8 @@ def main():
                          args["vmask"], args["seedmask"], args["lens"],
                          md, tk, tl, args["kmer"], args["kmer_ok"],
                          args["seg_short"])
-        matched = float(np.asarray(res.valid).reshape(B, -1).any(axis=1).mean())
+        matched = float(np.unique(np.asarray(res.cidx)[np.asarray(res.valid)]
+                               // 8).size) / B
         report("exact_reads_per_s", B / dt, "reads/s",
                genome_mbp=N // 1_000_000, batch=B, engine="pigeon",
                matched_frac=round(matched, 4), batch_ms=round(dt * 1e3, 1))

@@ -53,7 +53,8 @@ def main():
                          args["vmask"], args["seedmask"], args["lens"],
                          md, tk, tl, args["kmer"], args["kmer_ok"],
                          args["seg_short"])
-        mapped = float(np.asarray(res.valid).reshape(B, -1).any(axis=1).mean())
+        mapped = float(np.unique(np.asarray(res.cidx)[np.asarray(res.valid)]
+                               // 16).size) / B
         fb = int(np.asarray(res.fallback).sum())
         report("onemm_reads_per_s", B / dt, "reads/s",
                genome_mbp=round(N / 1e6, 1), batch=B, engine="pigeon",

@@ -100,26 +100,19 @@ def _iter_batches(names, reads, quals, batch):
         yield s, names[s:s + batch], reads[s:s + batch], quals[s:s + batch]
 
 
-_SAI_FIELDS = ("score", "nmm", "ngapo", "ngape", "k", "l")
-
-
-def _hits_to_part(hf, hr):
-    """Per-batch hit lists -> flat numpy field dict (legacy stream order:
-    all fwd reads of the batch, then all rc reads)."""
-    counts_f = np.asarray([len(h) for h in hf], np.int32)
-    counts_r = np.asarray([len(h) for h in hr], np.int32)
-    flat = {k: [] for k in _SAI_FIELDS}
-    for hits_side in (hf, hr):
-        for hits in hits_side:
-            for hh in hits:
-                flat["score"].append(hh.score); flat["nmm"].append(hh.nmm)
-                flat["ngapo"].append(hh.ngapo); flat["ngape"].append(hh.ngape)
-                flat["k"].append(hh.k); flat["l"].append(hh.l)
-    return dict(counts_f=counts_f, counts_r=counts_r,
-                **{k: np.asarray(v, np.int64) for k, v in flat.items()})
+_OCC_FIELDS = ("rid", "pos", "strand", "score", "nmm", "ngapo", "ngape")
 
 
 def cmd_aln(argv):
+    """Search phase of the two-phase flow.
+
+    ``.sai.npz`` v2 stores POSITION-RECORDS (located, deduped occurrence
+    arrays + truncation info) plus the full search options — samse/sampe
+    re-apply the same trim/budgets and skip locate entirely, so the
+    two-phase flow runs at fused-``align`` speed with identical records.
+    The lineage stores (k,l) SA intervals instead; registered as format
+    deviation (docs/PARITY.md .sai note — SAM output is unaffected).
+    """
     p = argparse.ArgumentParser(prog="hsa-tpu aln")
     p.add_argument("prefix")
     p.add_argument("reads")
@@ -127,20 +120,23 @@ def cmd_aln(argv):
     p.add_argument("--metrics", default=None, help="write run metrics JSON here")
     p.add_argument("--resume", action="store_true",
                    help="resume an interrupted run from its part shards")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "beam", "pigeon"])
     _add_search_opts(p)
     a = p.parse_args(argv)
+    import json
     import os
     from .pipeline import Aligner
     from .metrics import RunMetrics
     met = RunMetrics()
+    opt = _opt_from_args(a)
     met.config = dict(cmd="aln", reads=a.reads, batch=a.batch,
                       beam_width=a.beam_width, ladder=a.ladder,
-                      opt=_opt_from_args(a).to_dict())
+                      engine=a.engine, opt=opt.to_dict())
     ladder = tuple(int(x) for x in a.ladder.split(",")) if a.ladder else None
     with met.timer("index_load"):
-        al = Aligner(a.prefix, _opt_from_args(a), ladder=ladder,
-                     engine="beam")  # .sai carries (k,l) intervals: beam path
-    args_key = f"aln|{a.reads}|{a.batch}|{a.beam_width}|{a.n}"
+        al = Aligner(a.prefix, opt, ladder=ladder, engine=a.engine)
+    args_key = f"aln|{a.reads}|{a.batch}|{a.beam_width}|{a.n}|{a.engine}"
     done = _load_manifest(a.out, args_key) if a.resume else 0
     if done:
         met.log(f"resuming at read {done}")
@@ -151,8 +147,7 @@ def cmd_aln(argv):
     # a straight concatenation of the shards
     n_reads = 0
     part_files = []
-    for s, bn, br, bq in _stream_batches(a.reads, a.batch,
-                                         getattr(a, "trim_qual", 0)):
+    for s, bn, br, bq in _stream_batches(a.reads, a.batch, opt.trim_qual):
         n_reads = s + len(br)
         pf = os.path.join(parts_dir, f"part_{s:012d}.npz")
         part_files.append(pf)
@@ -160,22 +155,31 @@ def cmd_aln(argv):
             met.count("reads_in", len(br))
             continue
         with met.timer("search"):
-            hf, hr = al.search_batch(br, beam_width=a.beam_width,
-                                     ladder=ladder)
+            h = al._align_device(br, beam_width=a.beam_width)
+            occ, trunc, c2x = al._align_occ(h, beam_width=a.beam_width)
         ld, hd = al.last_overflow
         met.count("beam_overflow_reads", int((np.asarray(ld) > 0).sum()))
         met.count("reads_in", len(br))
-        np.savez(pf, **_hits_to_part(hf, hr))
+        np.savez(pf, nreads=np.int64(len(br)),
+                 trunc=np.asarray(trunc, bool),
+                 c2x=np.asarray(c2x, np.int64),
+                 **{k: occ[k] for k in _OCC_FIELDS})
         _save_manifest(a.out, args_key, n_reads, -1)
         met.log(f"aln {n_reads} reads")
-    # finalize: merge shards (in order) into the single-file .sai.npz
-    merged = {k: [] for k in ("counts_f", "counts_r") + _SAI_FIELDS}
+    # finalize: merge shards (in order; rid globalized) into the .sai.npz
+    merged = {k: [] for k in _OCC_FIELDS + ("trunc", "c2x")}
+    start = 0
     for pf in part_files:
         z = np.load(pf)
         for k in merged:
-            merged[k].append(z[k])
+            v = z[k]
+            if k == "rid":
+                v = v + start
+            merged[k].append(v)
+        start += int(z["nreads"])
     np.savez_compressed(
-        a.out, batch=np.int64(a.batch),
+        a.out, version=np.int64(2), batch=np.int64(a.batch),
+        nreads=np.int64(start), opt=json.dumps(opt.to_dict()),
         **{k: (np.concatenate(v) if v else np.zeros(0, np.int64))
            for k, v in merged.items()})
     for pf in part_files:
@@ -184,38 +188,41 @@ def cmd_aln(argv):
     met.dump(a.metrics)
 
 
+def _sai_meta(path):
+    """(AlnOpt, batch_size, nreads) stored in a v2 .sai.npz."""
+    import json
+    from .config import AlnOpt
+    z = np.load(path)
+    if "version" not in z or int(z["version"]) != 2:
+        raise SystemExit(f"error: {path} is not a v2 .sai.npz "
+                         "(re-run `hsa-tpu aln`)")
+    opt = AlnOpt(**json.loads(str(z["opt"])))
+    return opt, int(z["batch"]), int(z["nreads"])
+
+
 def _sai_stream(path):
-    """Yield (start_ordinal, hits_f, hits_r) per stored batch.
+    """Yield (start, occ dict (batch-local rid), trunc, c2x) per batch.
 
-    Reconstructs the legacy flat stream (batch0 fwd, batch0 rc, batch1
-    fwd, ...) batch-by-batch so callers never materialize per-read hit
-    lists for the whole file at once.
+    The v2 payload is position-records: occurrence arrays are already
+    located and deduped, so resolution needs no device locate pass.
     """
-    from .oracle.bnb import Hit
     z = np.load(path)
-    cf, cr = z["counts_f"], z["counts_r"]
-    bsz = int(z["batch"]) if "batch" in z else len(cf)
-    fields = [z[k] for k in _SAI_FIELDS]
-    idx = 0
-    for s in range(0, len(cf), max(bsz, 1)):
-        e = min(s + bsz, len(cf))
-        hits_f = [[] for _ in range(e - s)]
-        hits_r = [[] for _ in range(e - s)]
-        for side, hits in ((cf, hits_f), (cr, hits_r)):
-            for j in range(s, e):
-                for _ in range(int(side[j])):
-                    hits[j - s].append(Hit(
-                        int(fields[0][idx]), int(fields[1][idx]),
-                        int(fields[2][idx]), int(fields[3][idx]),
-                        int(fields[4][idx]), int(fields[5][idx])))
-                    idx += 1
-        yield s, hits_f, hits_r
-    assert idx == len(fields[0]), "corrupt .sai stream"
-
-
-def _sai_batch_size(path):
-    z = np.load(path)
-    return int(z["batch"]) if "batch" in z else len(z["counts_f"])
+    if "version" not in z or int(z["version"]) != 2:
+        raise SystemExit(f"error: {path} is not a v2 .sai.npz")
+    bsz = max(int(z["batch"]), 1)
+    nreads = int(z["nreads"])
+    fields = {k: z[k] for k in _OCC_FIELDS}
+    rid = fields["rid"]
+    assert (rid[1:] >= rid[:-1]).all(), "corrupt .sai stream (rid order)"
+    trunc = z["trunc"]
+    c2x = z["c2x"]
+    assert len(trunc) == nreads and len(c2x) == nreads, "corrupt .sai"
+    for s in range(0, nreads, bsz):
+        e = min(s + bsz, nreads)
+        lo, hi = np.searchsorted(rid, [s, e])
+        occ = {k: (v[lo:hi] - s if k == "rid" else v[lo:hi])
+               for k, v in fields.items()}
+        yield s, occ, trunc[s:e], c2x[s:e]
 
 
 def cmd_samse(argv):
@@ -225,31 +232,56 @@ def cmd_samse(argv):
     p.add_argument("reads")
     p.add_argument("-f", "--out", default=None)
     p.add_argument("-n", dest="n_multi", type=int, default=3)
+    p.add_argument("--metrics", default=None, help="write run metrics JSON here")
+    p.add_argument("--resume", action="store_true",
+                   help="resume an interrupted run (requires -f)")
     a = p.parse_args(argv)
     from .pipeline import Aligner
     from .io.sam import sam_header
-    from .resolve.samse import resolve_batch_se
-    al = Aligner(a.prefix)
-    out = open(a.out, "w") if a.out else sys.stdout
-    out.write(sam_header(al.meta, "samse"))
-    # streaming: read batches and .sai batches advance in lockstep
-    bsz = _sai_batch_size(a.sai)
-    read_stream = _stream_batches(a.reads, bsz)
+    from .resolve.samse import resolve_from_occ_arrays
+    from .metrics import RunMetrics
+    met = RunMetrics()
+    # the .sai carries the aln-time options (lineage gap_opt_t in the
+    # .sai header): trim and budgets are re-applied here so resolution
+    # sees exactly the reads the search saw
+    opt, bsz, _n_sai = _sai_meta(a.sai)
+    met.config = dict(cmd="samse", sai=a.sai, reads=a.reads,
+                      opt=opt.to_dict())
+    with met.timer("index_load"):
+        al = Aligner(a.prefix, opt)
+    args_key = f"samse|{a.sai}|{a.reads}|{bsz}"
+    done = _load_manifest(a.out, args_key) if a.resume else 0
+    mode = "a" if (a.resume and done) else "w"
+    out = open(a.out, mode) if a.out else sys.stdout
+    if not done:
+        out.write(sam_header(al.meta, "samse"))
+    else:
+        met.log(f"resuming at read {done}")
     n = 0
-    for (s, bn, br, bq), (s2, hf, hr) in _zip_lockstep(read_stream,
-                                                        _sai_stream(a.sai)):
-        assert s == s2 and len(br) == len(hf), \
+    for (s, bn, br, bq), (s2, occ, trunc, c2x) in _zip_lockstep(
+            _stream_batches(a.reads, bsz, opt.trim_qual),
+            _sai_stream(a.sai)):
+        assert s == s2 and len(br) == len(trunc), \
             "read file does not match .sai"
-        recs = resolve_batch_se(al.text, al.meta, br, bn, bq, hf, hr,
-                                al.locate_fn, al.opt,
-                                SamseOpt(n_multi=a.n_multi), read_offset=s)
-        for r in recs:
-            out.write(r.to_sam() + "\n")
         n = s + len(br)
+        if n <= done:
+            met.count("reads_in", len(br))
+            continue
+        with met.timer("resolve"):
+            lines, flags = resolve_from_occ_arrays(
+                al.text, al.meta, br, bn, bq, occ, trunc.tolist(), opt,
+                SamseOpt(n_multi=a.n_multi), read_offset=s, emit="sam",
+                c2_extra=c2x)
+        out.write("\n".join(lines) + "\n")
+        met.count("reads_in", len(br))
+        met.count("records_out", len(lines))
+        met.count("reads_mapped", sum(1 for f in flags if not f & 4))
+        _save_manifest(a.out, args_key, n, -1)
     out.flush()
     print(f"[hsa-tpu samse] {n} reads", file=sys.stderr)
     if a.out:
         out.close()
+    met.dump(a.metrics)
 
 
 def _zip_lockstep(*iters):
@@ -437,36 +469,67 @@ def cmd_sampe(argv):
     p.add_argument("-f", "--out", default=None)
     p.add_argument("-a", dest="max_isize", type=int, default=500)
     p.add_argument("-n", dest="n_multi", type=int, default=3)
+    p.add_argument("--metrics", default=None, help="write run metrics JSON here")
+    p.add_argument("--resume", action="store_true",
+                   help="resume an interrupted run (requires -f)")
     a = p.parse_args(argv)
     from .pipeline import Aligner
     from .io.sam import sam_header
     from .config import PEOpt
-    from .resolve.sampe import resolve_batch_pe
-    al = Aligner(a.prefix)
-    out = open(a.out, "w") if a.out else sys.stdout
-    out.write(sam_header(al.meta, "sampe"))
+    from .resolve.sampe import resolve_pe_from_occurrences
+    from .search.pigeon import occ_arrays_to_lists
+    from .metrics import RunMetrics
+    met = RunMetrics()
+    # both .sai files carry the aln-time options; they must agree (the
+    # lineage reads gap_opt_t from each .sai header the same way)
+    opt, bsz, _n1 = _sai_meta(a.sai1)
+    opt2, bsz2, _n2 = _sai_meta(a.sai2)
+    assert bsz == bsz2, ".sai batch sizes differ"
+    assert opt.to_dict() == opt2.to_dict(), ".sai search options differ"
+    met.config = dict(cmd="sampe", sai1=a.sai1, sai2=a.sai2,
+                      opt=opt.to_dict())
+    with met.timer("index_load"):
+        al = Aligner(a.prefix, opt)
     peopt = PEOpt(max_isize=a.max_isize, n_multi=a.n_multi)
-    bsz = _sai_batch_size(a.sai1)
-    assert bsz == _sai_batch_size(a.sai2), ".sai batch sizes differ"
+    args_key = f"sampe|{a.sai1}|{a.sai2}|{a.reads1}|{a.reads2}|{bsz}"
+    done = _load_manifest(a.out, args_key) if a.resume else 0
+    mode = "a" if (a.resume and done) else "w"
+    out = open(a.out, mode) if a.out else sys.stdout
+    if not done:
+        out.write(sam_header(al.meta, "sampe"))
+    else:
+        met.log(f"resuming at pair {done}")
     n = 0
     # streaming: both mates' read + .sai streams advance in lockstep;
     # insert-size inference is batch-local (matches align-pe)
-    for (s, n1, r1, q1), (s2, n2, r2, q2), (s3, hf1, hr1), (s4, hf2, hr2) \
-            in _zip_lockstep(_stream_batches(a.reads1, bsz),
-                             _stream_batches(a.reads2, bsz),
+    for (s, n1, r1, q1), (s2, n2, r2, q2), (s3, occ1, tr1, cx1), \
+            (s4, occ2, tr2, cx2) \
+            in _zip_lockstep(_stream_batches(a.reads1, bsz, opt.trim_qual),
+                             _stream_batches(a.reads2, bsz, opt.trim_qual),
                              _sai_stream(a.sai1), _sai_stream(a.sai2)):
-        assert s == s2 == s3 == s4 and len(r1) == len(r2) == len(hf1), \
+        assert s == s2 == s3 == s4 and len(r1) == len(r2) == len(tr1), \
             "mate/sai files do not match"
-        recs = resolve_batch_pe(al.text, al.meta, r1, r2, n1, q1, q2,
-                                (hf1, hr1), (hf2, hr2), al.locate_fn,
-                                al.opt, peopt, read_offset=s)
+        n = s + len(r1)
+        if n <= done:
+            met.count("reads_in", 2 * len(r1))
+            continue
+        with met.timer("resolve"):
+            occs1 = occ_arrays_to_lists(occ1, len(r1))
+            occs2 = occ_arrays_to_lists(occ2, len(r2))
+            recs = resolve_pe_from_occurrences(
+                al.text, al.meta, r1, r2, n1, q1, q2, occs1, occs2, opt,
+                peopt, read_offset=s, trunc1=tr1.tolist(),
+                trunc2=tr2.tolist(), c2x1=cx1, c2x2=cx2)
         for r in recs:
             out.write(r.to_sam() + "\n")
-        n = s + len(r1)
+        met.count("reads_in", 2 * len(r1))
+        met.count("records_out", len(recs))
+        _save_manifest(a.out, args_key, n, -1)
     out.flush()
     print(f"[hsa-tpu sampe] {n} pairs", file=sys.stderr)
     if a.out:
         out.close()
+    met.dump(a.metrics)
 
 
 def cmd_align_pe(argv):

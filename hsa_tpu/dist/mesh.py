@@ -226,13 +226,14 @@ class ShardedIndex:
                 idx, trows, segs_rev.reshape(-1, SL), seg_lens.reshape(-1),
                 seg_off.reshape(-1), rw, nmask, vmask, seedmask, lens, md,
                 opt, n_seg=n_seg, cand_cap=cand_cap, kmer_seed=seed)
-            # globalize the pool-2 lane owners so host finalization sees
-            # batch-global read-lane ids after concatenation
+            # globalize the pool-2 lane owners AND the pool-1 slot ids so
+            # host finalization sees batch-global indices after concat
             B_loc = lens.shape[0]
             off = lax.axis_index("data").astype(jnp.int32) * B_loc
             g_read = jnp.where(res.g_read < B_loc, res.g_read + off,
                                n_data * B_loc)
-            return res._replace(g_read=g_read,
+            cidx = res.cidx + off * jnp.int32(cand_cap)
+            return res._replace(g_read=g_read, cidx=cidx,
                                 n_gate=res.n_gate.reshape(1))
 
         from ..search.pigeon import PigeonResult
@@ -240,7 +241,7 @@ class ShardedIndex:
         kmer_specs = ((P(), P(), P(None, "data"), P(None, "data"),
                        P(None, "data")) if with_kmer else ())
         out_specs = PigeonResult(
-            pos=P("data"), nmm=P("data"), valid=P("data"),
+            pos=P("data"), nmm=P("data"), valid=P("data"), cidx=P("data"),
             fallback=P("data"), n_cand=P("data"),
             g_q=P("data", None), g_key=P("data", None), g_read=P("data"),
             n_gate=P("data"), n_missed=P("data"))

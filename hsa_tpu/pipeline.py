@@ -164,8 +164,13 @@ class Aligner:
     # per read-strand lane, and the max anchor interval width before a
     # segment counts as repetitive (wider -> fewer beam fallbacks on
     # repeat-dense genomes at more verify work per batch)
-    _PIGEON_CAND_CAP = int(os.environ.get("HSA_PIGEON_CC", "16"))
+    # CC=48 (round 4): moderately repetitive reads carry ~40-70 real
+    # candidates after wide-anchor extension; the pool-form readback
+    # makes CC readback-free, so enumerate them instead of sampling 16
+    # (sampling missed the true copy for ~12% of repeat-genome reads).
+    _PIGEON_CAND_CAP = int(os.environ.get("HSA_PIGEON_CC", "48"))
     _PIGEON_SEG_CAP = int(os.environ.get("HSA_PIGEON_SEG_CAP", "32"))
+    _PIGEON_POOL_MULT = int(os.environ.get("HSA_PIGEON_POOL", "4"))
     _PIGEON_MIN_SEG = 12
 
     def _pigeon_eligible(self, reads):
@@ -246,6 +251,7 @@ class Aligner:
             arrays, meta = split_idx(self.dev)
             opt, CC = self.opt, self._PIGEON_CAND_CAP
             seg_cap = self._PIGEON_SEG_CAP
+            pool_mult = self._PIGEON_POOL_MULT
             if self._text_rows is None:
                 import jax.numpy as jnp
                 self._text_rows = jnp.asarray(pg.pack_text_rows(self.text))
@@ -269,6 +275,7 @@ class Aligner:
                                         seg_off, rw, nmask, None, None,
                                         lens, md, opt, n_seg=n_seg,
                                         cand_cap=CC, gpool=B2,
+                                        pool=pool_mult * B2,
                                         seg_cap=seg_cap,
                                         kmer_seed=seed)
 
@@ -449,24 +456,28 @@ class Aligner:
         res = self._pigeon_raw(sub, n_seg)
         return ("pigeon", rb, elig, sub, res)
 
-    def _align_finish(self, handle, names, quals, *, read_offset: int = 0,
-                      sopt=None, beam_width=None, max_hits=32,
-                      emit: str = "records"):
-        """Phase B: finalize + (rare) beam fallback + record resolution.
+    def _align_occ(self, handle, *, beam_width=None, max_hits=32):
+        """Search-phase finalization: handle -> (occ dict, truncated[B],
+        c2_extra[B]).
 
-        ``emit="sam"`` returns (sam_lines, flags) with the common record
-        shapes formatted directly (skips AlnRecord construction + the
-        second to_sam pass — the dominant host cost at full batch rate).
+        Everything record resolution needs except reads/names/quals —
+        the payload of the two-phase (``aln`` -> ``.sai`` -> ``samse``)
+        flow, shared with the fused ``align`` path so both produce
+        identical records.  Includes the rare beam re-run of fallback
+        reads; ``occ["rid"]`` is batch-local.
         """
-        from .resolve.samse import collect_occurrences, resolve_from_occ_arrays
+        from .resolve.samse import collect_occurrences
         from .search import pigeon as pg
         if handle[0] == "beam":
             _, rb, h = handle
-            recs = self.resolve_handle(h, rb, names, quals,
-                                       read_offset=read_offset, sopt=sopt)
-            if emit == "sam":
-                return [r.to_sam() for r in recs], [r.flag for r in recs]
-            return recs
+            B = len(rb)
+            hf, hr = self.hits_from_device(h)
+            occs, tr = collect_occurrences(hf, hr, self.locate_fn)
+            self.last_fallback_frac = 0.0
+            self.last_ineligible_frac = 1.0
+            self.last_trunc_frac = 0.0
+            return pg.occ_lists_to_arrays(occs), list(tr), \
+                np.zeros(B, np.int64)
         _, rb, elig, sub, res = handle
         B = len(rb)
         occ, fb, missed = pg.pigeon_occ_arrays(res, len(sub), self.opt,
@@ -517,6 +528,22 @@ class Aligner:
                                 occ["rid"]))
             occ = {k: v[order] for k, v in occ.items()}
         self.last_overflow = (ld, hd)
+        return occ, truncated, c2_extra
+
+    def _align_finish(self, handle, names, quals, *, read_offset: int = 0,
+                      sopt=None, beam_width=None, max_hits=32,
+                      emit: str = "records"):
+        """Phase B: finalize + (rare) beam fallback + record resolution.
+
+        ``emit="sam"`` returns (sam_lines, flags) with the common record
+        shapes formatted directly (skips AlnRecord construction + the
+        second to_sam pass — the dominant host cost at full batch rate).
+        """
+        from .resolve.samse import resolve_from_occ_arrays
+        occ, truncated, c2_extra = self._align_occ(
+            handle, beam_width=beam_width, max_hits=max_hits)
+        rb = handle[1]
+        B = len(rb)
         names = names or [f"read{read_offset + i}" for i in range(B)]
         return resolve_from_occ_arrays(self.text, self.meta, rb, names,
                                        quals, occ, truncated, self.opt,

@@ -175,6 +175,90 @@ def _best_pair(occ1, occ2, L1, L2, mean, std, max_isize):
     return best if best is None else best + (n_best, subo)
 
 
+_PAIR_W = 16     # matrix width of the vectorized pairing; wider windows
+                 # (repeat-heavy ends) take the loop twin
+
+
+def _best_pair_batch(w1, w2, lens1, lens2, mean, std, max_isize):
+    """Vectorized :func:`_best_pair` over all pairs of a batch.
+
+    Returns a list of per-pair results with IDENTICAL semantics to the
+    loop twin (tested equal): None, or (key, o1, o2, ins, n_best, subo).
+    Pairs where either window exceeds _PAIR_W entries fall back to the
+    loop (rare: such ends are repeat-heavy and MAPQ-0 anyway).  The
+    combo matrices are [B, W, W] masked numpy ops — the per-pair Python
+    O(n1*n2) loop dominated paired resolution beyond ~10K pairs/s
+    (VERDICT r3 weak #5).
+    """
+    B = len(w1)
+    out = [None] * B
+    W = _PAIR_W
+    mat_ids = [j for j in range(B)
+               if w1[j] and w2[j] and len(w1[j]) <= W and len(w2[j]) <= W]
+    for j in range(B):
+        if (w1[j] and w2[j]
+                and (len(w1[j]) > W or len(w2[j]) > W)):
+            out[j] = _best_pair(w1[j], w2[j], lens1[j], lens2[j],
+                                mean, std, max_isize)
+    if not mat_ids:
+        return out
+    M = len(mat_ids)
+    BIG = np.int64(1 << 60)
+    pos = np.zeros((2, M, W), np.int64)
+    sc = np.zeros((2, M, W), np.int64)
+    st = np.zeros((2, M, W), np.int8)
+    gl = np.zeros((2, M, W), np.int64)
+    ok = np.zeros((2, M, W), bool)
+    for e, (ws, lens) in enumerate(((w1, lens1), (w2, lens2))):
+        for i, j in enumerate(mat_ids):
+            lst = ws[j]
+            n = len(lst)
+            pos[e, i, :n] = [o.pos for o in lst]
+            sc[e, i, :n] = [o.score for o in lst]
+            st[e, i, :n] = [o.strand for o in lst]
+            gl[e, i, :n] = [lens[j] + o.ngapo + o.ngape for o in lst]
+            ok[e, i, :n] = True
+    p1, p2 = pos[0][:, :, None], pos[1][:, None, :]
+    s1, s2 = st[0][:, :, None], st[1][:, None, :]
+    g1, g2 = gl[0][:, :, None], gl[1][:, None, :]
+    limit = (mean + 4 * std) if mean is not None else float(max_isize)
+    lo = max(0.0, mean - 4 * std) if mean is not None else 0.0
+    of_pos = np.where(s1 == 0, p1, p2)
+    rv_end = np.where(s1 == 0, p2 + g2, p1 + g1)
+    ins = rv_end - of_pos
+    valid = (ok[0][:, :, None] & ok[1][:, None, :] & (s1 != s2)
+             & (ins > 0) & (ins <= limit) & (ins >= lo))
+    csc = np.where(valid, sc[0][:, :, None] + sc[1][:, None, :], BIG)
+    flat = csc.reshape(M, W * W)
+    best_sc = flat.min(axis=1)
+    has = best_sc < BIG
+    isbest = csc == best_sc[:, None, None]
+    n_best = (valid & isbest).reshape(M, W * W).sum(axis=1)
+    sub_sc = np.where(valid & ~isbest, csc, BIG).reshape(M, W * W).min(axis=1)
+    # pick: among best-score combos, min (dev, of_pos, iteration order)
+    dev = (np.abs(ins - mean) if mean is not None
+           else np.zeros_like(ins, np.float64))
+    dev_m = np.where(valid & isbest, dev, np.inf).reshape(M, W * W)
+    dmin = dev_m.min(axis=1)
+    pmask = valid & isbest & (dev_m.reshape(M, W, W) == dmin[:, None, None])
+    pos_m = np.where(pmask, of_pos, BIG).reshape(M, W * W)
+    pmin = pos_m.min(axis=1)
+    first = np.argmax((pos_m == pmin[:, None])
+                      & pmask.reshape(M, W * W), axis=1)
+    a_i, b_i = first // W, first % W
+    ins_f = ins.reshape(M, W * W)
+    for i in np.nonzero(has)[0]:
+        j = mat_ids[i]
+        a, b = int(a_i[i]), int(b_i[i])
+        o1, o2 = w1[j][a], w2[j][b]
+        of = o1 if o1.strand == 0 else o2
+        key = (int(best_sc[i]), float(dmin[i]), of.pos)
+        subo = int(sub_sc[i]) if sub_sc[i] < BIG else None
+        out[j] = (key, o1, o2, int(ins_f[i, first[i]]),
+                  int(n_best[i]), subo)
+    return out
+
+
 def pair_mapq(mapq1, mapq2, n_best, subo, best_sc, s_mm):
     """Paired-MAPQ adjustment for a proper pair (docs/PARITY.md #11).
 
@@ -320,12 +404,14 @@ def resolve_pe_from_occurrences(text, meta, reads1, reads2, names, quals1,
     pair_stats = [None] * B   # (n_best, subo, best_sc) for proper pairs
     jobs = []          # (pair_idx, missing_end, anchor, read, L)
     rlim = int((mean + 4 * std) if mean is not None else peopt.max_isize)
+    pairs_all = _best_pair_batch(w1, w2, lens1, lens2, mean, std,
+                                 peopt.max_isize)
     for j in range(B):
         r1, r2 = reads1[j], reads2[j]
         L1, L2 = lens1[j], lens2[j]
         o1 = o2 = None
         proper = False
-        pair = _best_pair(w1[j], w2[j], L1, L2, mean, std, peopt.max_isize)
+        pair = pairs_all[j]
         if pair is not None:
             _, o1, o2, _, n_best, subo = pair
             pair_stats[j] = (n_best, subo, o1.score + o2.score)
@@ -343,6 +429,22 @@ def resolve_pe_from_occurrences(text, meta, reads1, reads2, names, quals1,
                 anchor, missing, Lm, rm = ((o1, 2, L2, r2) if o2 is None
                                            else (o2, 1, L1, r1))
                 jobs.append((j, missing, anchor, rm, Lm))
+            elif peopt.is_sw and o1 is not None and o2 is not None:
+                # discordant pair: both ends map but no FR-consistent
+                # combo exists (SVs, far-multi-mapped mates).  The
+                # lineage's bwa_paired_sw also rescues here (SURVEY
+                # §3.4): anchor on a UNIQUE-best end and SW the other
+                # into its FR window; acceptance uses the same cost rule
+                # as one-end rescue, so a genuinely distant mate fails
+                # the screen and the pair stays discordant.
+                u1 = bool(w1[j]) and sum(
+                    1 for x in w1[j] if x.score == w1[j][0].score) == 1
+                u2 = bool(w2[j]) and sum(
+                    1 for x in w2[j] if x.score == w2[j][0].score) == 1
+                if u1 and (not u2 or o1.score <= o2.score):
+                    jobs.append((j, 2, o1, r2, L2))
+                elif u2:
+                    jobs.append((j, 1, o2, r1, L1))
         choices.append([o1, o2, proper])
 
     # ---- phase B: batched device rescue screen, host traceback on accepts -

@@ -28,11 +28,17 @@ for the TPU cost model (docs/TPU_NOTES.md: row gathers are the currency,
    per-base prefix sums over the already-fetched window — again pure
    VPU, no extra row gathers beyond the verify fetch.
 
-Per read this is ~10 row gathers end-to-end vs the beam's ~2,900, and
-has NO overflow failure mode: every capacity miss (repetitive segment,
-candidate-pool full, gapped-slot overflow) sets a per-read ``fallback``
-flag and the caller re-runs those reads on the exhaustive beam ladder —
-the pigeonhole hit set is exact, never approximate.
+Per read this is ~10 row gathers end-to-end vs the beam's ~2,900.
+Capacity misses are handled in-engine (round 4, the lineage
+max_entries-truncation analog; docs/PARITY.md #14): repetitive anchors
+extend backward through their own segment, segments still wide after
+full extension enumerate a capped sample, and slot/pool/gapped-screen
+overflow shaves candidates fairly (slot-major pool priority) — every
+shortfall is COUNTED in ``n_missed`` so truncated reads report their
+verified subset with conservatively capped MAPQ.  The ``fallback`` flag
+is reserved for shape/budget misses (segment shorter than the K-mer
+seed, md > n_seg-1, gap runs beyond the clamp) and for truncated reads
+that end with no verified candidate (decided by the caller).
 
 Parity contract (vs ``hsa_tpu.oracle.bnb``): for ``max_gapo == 0`` the
 enumerated occurrence set equals the oracle's (all ≤ md-mismatch
@@ -44,8 +50,8 @@ cap, ``indel_end_skip`` — so after position-level dedup the record set
 matches the oracle's reporting window.  ``max_gapo >= 2`` is outside
 the engine's shape (multi-run gaps); callers must route those configs
 to the beam.  Reads whose budget exceeds ``n_seg - 1`` always fall
-back, as do candidates whose gapped q-classes overflow the per-
-candidate slot cap within the score window (GC_SLOTS; conservative).
+back; capacity misses (wide repeat intervals, pool or gapped-q-class
+overflow) truncate with ``n_missed`` accounting instead (see above).
 
 Shape limits: read length <= 160 (MAX_READ_LEN; window fetch is 2 rows
 for reads <= 112bp and 3 rows above).
@@ -74,14 +80,18 @@ _BIGKEY = 0xFFFFFFFF
 
 
 class PigeonResult(NamedTuple):
-    """Device-side result.  Ungapped candidate matrices are flat [B*CC]
-    read-major (read j's slots at [j*CC, (j+1)*CC)).  Gapped results are
-    pool-2 indexed: lane i (< n_gate) belongs to read-lane g_read[i] and
-    carries up to GC_SLOTS q-classes (g_key == _BIGKEY marks empties;
-    key packs score<<8 | gap_len<<4 | nmm)."""
-    pos: jnp.ndarray        # uint32[B*CC] candidate start positions
-    nmm: jnp.ndarray        # int32[B*CC] verified mismatch counts
-    valid: jnp.ndarray      # bool[B*CC]
+    """Device-side result.  Ungapped candidates are POOL-indexed (dense
+    compaction): entry i belongs to read-lane ``cidx[i] // cand_cap``
+    (``cidx`` is the read-major flat slot id; dead entries carry
+    ``cidx == B*cand_cap``).  Pool form keeps the readback O(POOL)
+    independent of cand_cap.  Gapped results are pool-2 indexed: lane i
+    (< n_gate) belongs to read-lane g_read[i] and carries up to GC_SLOTS
+    q-classes (g_key == _BIGKEY marks empties; key packs
+    score<<8 | gap_len<<4 | nmm)."""
+    pos: jnp.ndarray        # uint32[POOL] candidate start positions
+    nmm: jnp.ndarray        # uint8[POOL] verified mismatch counts
+    valid: jnp.ndarray      # bool[POOL]
+    cidx: jnp.ndarray       # int32[POOL] read-major flat slot id
     fallback: jnp.ndarray   # bool[B]  read needs the exhaustive beam
     n_cand: jnp.ndarray     # int32[B] enumerated candidates (pre-dedup)
     g_q: jnp.ndarray        # uint32[GPOOL, GC_SLOTS] gapped start positions
@@ -605,17 +615,20 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
     pvalid = (pvalid & (pnmm <= pmd)
               & (seed_f.astype(I32) <= opt.max_seed_diff))
 
-    # 6. scatter pool back to read-major slots (fill index B*CC drops);
-    # nmm rides back as uint8 (reads <= 160bp) to shrink the readback
-    pos_o = jnp.zeros(B * CC, U32).at[cidx].set(jnp.where(pvalid, pstart, U32(0)))
-    nmm_o = jnp.zeros(B * CC, jnp.uint8).at[cidx].set(pnmm.astype(jnp.uint8))
-    val_o = jnp.zeros(B * CC, bool).at[cidx].set(pvalid)
+    # 6. results stay in POOL form (round 4): pos/nmm/valid/cidx are
+    # pool-indexed, cidx = read-major flat slot id (lane = cidx // CC).
+    # The old slot-major [B*CC] scatter cost a B*CC-sized readback that
+    # capped CC at 16; pool form reads back O(POOL) regardless of CC.
+    pos_o = jnp.where(pvalid, pstart, U32(0))
+    nmm_o = pnmm.astype(jnp.uint8)
+    val_o = pvalid
 
     # 7. gapped verify (G > 0): pool-2 screen of one-run gap placements
     if G > 0:
-        v2 = val_o.reshape(B, CC)
-        n2 = jnp.where(v2, nmm_o.reshape(B, CC).astype(I32), _BIGNMM)
-        best_sc = n2.min(axis=1) * opt.s_mm
+        # per-read best ungapped nmm via scatter-min over the pool
+        n2 = jnp.full(B, _BIGNMM, I32).at[pread].min(
+            jnp.where(pvalid, pnmm, _BIGNMM), mode="drop")
+        best_sc = n2 * opt.s_mm
         # gapped records can only enter the reporting window when the
         # lane's best ungapped score admits them (or no ungapped hit)
         need_gap = best_sc >= (opt.s_gapo - opt.s_mm)
@@ -625,9 +638,15 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
         in_g = jnp.arange(GPOOL) < n_gate
         g_over = n_gate > GPOOL
         gcut = jnp.where(g_over, gidx[GPOOL - 1], jnp.int32(POOL))
+        # pool-2 overflow: candidates past the cutoff lose their gapped
+        # screen.  Pool order is slot-major (fair), so the loss shaves
+        # every read's LAST candidates; counted into n_missed
+        # (truncation — conservative MAPQ + beam only when the read ends
+        # with no occurrences) instead of a blanket fallback, which made
+        # repeat-dense batches re-run 14% of reads on the beam.
         g_lostp = gate & (jnp.arange(POOL) > gcut)
-        pool2_lost = (jnp.zeros(B, bool).at[
-            jnp.where(g_lostp, pread, B)].set(True, mode="drop"))
+        n_missed = n_missed + (jnp.zeros(B, I32).at[
+            jnp.where(g_lostp, pread, B)].add(1, mode="drop"))
 
         def g2(x):
             return jnp.take(x, jnp.minimum(gidx, POOL - 1), axis=0)
@@ -743,23 +762,20 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
             out_q.append(jnp.zeros(GPOOL, U32))
         g_key = jnp.stack(out_k, axis=1)
         g_q = jnp.stack(out_q, axis=1)
-        # conservative overflow: a dropped class could still enter the
-        # reporting window (score <= kept best + s_mm)
+        # conservative overflow: a dropped q-class could still enter the
+        # reporting window (score <= kept best + s_mm) — counted as a
+        # missed candidate (truncation), like every other capacity miss
         if 2 * G + 1 > GC_SLOTS:
             rem_key = kmat.min(axis=1)
             rem = rem_key >> U32(8)
             kept = out_k[0] >> U32(8)
             g_drop = in_g & (rem_key != U32(_BIGKEY)) \
                 & (rem <= kept + U32(opt.s_mm))
-            g_fb = (jnp.zeros(B, bool).at[
-                jnp.where(g_drop, pread2, B)].set(True, mode="drop"))
-        else:
-            g_fb = jnp.zeros(B, bool)
+            n_missed = n_missed + (jnp.zeros(B, I32).at[
+                jnp.where(g_drop, pread2, B)].add(1, mode="drop"))
         g_key = jnp.where(in_g[:, None], g_key, U32(_BIGKEY))
         g_read = jnp.where(in_g, pread2, jnp.int32(B))
     else:
-        pool2_lost = jnp.zeros(B, bool)
-        g_fb = jnp.zeros(B, bool)
         g_q = jnp.zeros((1, GC_SLOTS), U32)
         g_key = jnp.full((1, GC_SLOTS), _BIGKEY, U32)
         g_read = jnp.full(1, B, I32)
@@ -770,12 +786,13 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
     # fallbacks anymore: they enumerate a capped candidate subset and
     # report the shortfall in n_missed; the caller re-runs a truncated
     # read on the beam only when NO candidate verified.
-    fallback = short_fb | pool2_lost | g_fb | (md > (n_seg - 1))
+    fallback = short_fb | (md > (n_seg - 1))
     if opt.max_gapo > 0 and opt.max_gape + 1 > G:
         # the MAX_GAP_RUN clamp bound: reads whose budget admits a gap
         # run longer than the screened G must take the exhaustive beam
         fallback = fallback | (md > G)
-    return PigeonResult(pos=pos_o, nmm=nmm_o, valid=val_o, fallback=fallback,
+    return PigeonResult(pos=pos_o, nmm=nmm_o, valid=val_o,
+                        cidx=cidx.astype(I32), fallback=fallback,
                         n_cand=jnp.minimum(total, CC),
                         g_q=g_q, g_key=g_key, g_read=g_read,
                         n_gate=jnp.asarray(n_gate, I32),
@@ -837,15 +854,22 @@ def pigeon_occurrences(res: PigeonResult, B: int, opt, cand_cap: int):
     from ..resolve.samse import Occurrence
     CC = cand_cap
     s_mm = opt.s_mm
-    pos = np.asarray(res.pos).reshape(-1, CC)
-    nmm = np.asarray(res.nmm).reshape(-1, CC)
-    valid = np.asarray(res.valid).reshape(-1, CC)
+    pos = np.asarray(res.pos)
+    nmm = np.asarray(res.nmm)
+    valid = np.asarray(res.valid)
+    cidx = np.asarray(res.cidx, np.int64)
     fallback = np.asarray(res.fallback)
-    B2 = pos.shape[0]
+    B2 = fallback.shape[0]
     assert B2 == 2 * B, (B2, B)
     fb = fallback[:B] | fallback[B:]
     miss_all = np.asarray(res.n_missed, np.int64)
     missed = miss_all[:B] + miss_all[B:]
+
+    # pool-form ungapped entries grouped by lane (cidx // CC)
+    ung_by_lane: dict[int, list] = {}
+    for i in np.nonzero(valid)[0]:
+        ung_by_lane.setdefault(int(cidx[i]) // CC, []).append(
+            (int(pos[i]), int(nmm[i])))
 
     # gapped pool-2 entries grouped by lane
     g_read = np.asarray(res.g_read)
@@ -874,12 +898,10 @@ def pigeon_occurrences(res: PigeonResult, B: int, opt, cand_cap: int):
         d = {}
         if not fb[j]:
             for lane, strand in ((j, 0), (j + B, 1)):
-                for s in np.nonzero(valid[lane])[0]:
-                    key = (int(pos[lane, s]), strand)
-                    sc = int(nmm[lane, s]) * s_mm
-                    if better(d.get(key), sc, 0, 0, int(nmm[lane, s])):
-                        d[key] = Occurrence(int(pos[lane, s]), strand, sc,
-                                            int(nmm[lane, s]), 0, 0)
+                for p, nm in ung_by_lane.get(lane, ()):
+                    key = (p, strand)
+                    if better(d.get(key), nm * s_mm, 0, 0, nm):
+                        d[key] = Occurrence(p, strand, nm * s_mm, nm, 0, 0)
                 for q, score, nm, g in gap_by_lane.get(lane, ()):
                     key = (q, strand)
                     if better(d.get(key), score, 1, g - 1, nm):
@@ -902,19 +924,21 @@ def pigeon_occ_arrays(res: PigeonResult, B: int, opt, cand_cap: int):
     """
     CC = cand_cap
     s_mm = opt.s_mm
-    pos = np.asarray(res.pos).reshape(-1, CC)
-    nmm = np.asarray(res.nmm).reshape(-1, CC)
-    valid = np.asarray(res.valid).reshape(-1, CC)
+    pos = np.asarray(res.pos)
+    nmm = np.asarray(res.nmm)
+    valid = np.asarray(res.valid)
+    cidx = np.asarray(res.cidx, np.int64)
     fallback = np.asarray(res.fallback)
-    B2 = pos.shape[0]
+    B2 = fallback.shape[0]
     assert B2 == 2 * B, (B2, B)
     fb = fallback[:B] | fallback[B:]
     miss_all = np.asarray(res.n_missed, np.int64)
     missed = miss_all[:B] + miss_all[B:]
 
-    li, si = np.nonzero(valid)
-    u_pos = pos[li, si].astype(np.int64)
-    u_nmm = nmm[li, si].astype(np.int32)
+    pi = np.nonzero(valid)[0]
+    li = cidx[pi] // CC
+    u_pos = pos[pi].astype(np.int64)
+    u_nmm = nmm[pi].astype(np.int32)
     u_rid = np.where(li < B, li, li - B).astype(np.int64)
     u_str = (li >= B).astype(np.int8)
     u_sc = u_nmm * s_mm

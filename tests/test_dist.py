@@ -130,10 +130,18 @@ def test_sharded_pigeon_matches_single(env):
         cand_cap=16)
     r2 = sidx.pigeon_fn(opt, n_seg, trows, cand_cap=16)(batch, md)
 
-    for field in ("pos", "nmm", "valid", "fallback", "n_cand", "n_missed"):
+    for field in ("fallback", "n_cand", "n_missed"):
         np.testing.assert_array_equal(np.asarray(getattr(r1, field)),
                                       np.asarray(getattr(r2, field)),
                                       err_msg=field)
+    # pool-1 entries: compaction order differs across data slices (each
+    # slice owns its own pool), so compare the (slot id, pos, nmm) SETS
+    def pool_set(res):
+        v = np.asarray(res.valid)
+        ci = np.asarray(res.cidx)[v]
+        return set(zip(ci.tolist(), np.asarray(res.pos)[v].tolist(),
+                       np.asarray(res.nmm)[v].tolist()))
+    assert pool_set(r1) == pool_set(r2)
     # gapped entries: pool-2 compaction order differs across data slices,
     # so compare the per-lane occurrence SETS
     def gap_sets(res, n_lanes):

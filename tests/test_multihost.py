@@ -129,9 +129,11 @@ WORKER_PIGEON = textwrap.dedent("""
     from jax.experimental import multihost_utils
     posg = multihost_utils.process_allgather(res.pos, tiled=True)
     valg = multihost_utils.process_allgather(res.valid, tiled=True)
-    json.dump(dict(pos=np.asarray(posg).tolist(),
-                   valid=np.asarray(valg).astype(int).tolist()),
-              open(out, "w"))
+    cig = multihost_utils.process_allgather(res.cidx, tiled=True)
+    v = np.asarray(valg).astype(bool)
+    ent = sorted(zip(np.asarray(cig)[v].tolist(),
+                     np.asarray(posg)[v].tolist()))
+    json.dump(dict(entries=ent), open(out, "w"))
 """)
 
 
@@ -192,7 +194,7 @@ def test_two_process_sharded_pigeon(tmp_path):
         jnp.asarray(batch["vmask"]), jnp.asarray(batch["seedmask"]),
         jnp.asarray(batch["lens"]), jnp.asarray(md), opt, n_seg=3,
         cand_cap=16)
-    np.testing.assert_array_equal(np.asarray(res.pos),
-                                  np.asarray(a["pos"], np.uint32))
-    np.testing.assert_array_equal(np.asarray(res.valid).astype(int),
-                                  np.asarray(a["valid"]))
+    v = np.asarray(res.valid)
+    ent = sorted(zip((np.asarray(res.cidx)[v]).tolist(),
+                     np.asarray(res.pos)[v].tolist()))
+    assert ent == [tuple(e) for e in a["entries"]]

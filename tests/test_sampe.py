@@ -210,3 +210,104 @@ def test_paired_mapq_boosts_repetitive_end():
         (rec2.tags, "end2 must be repetitive")
     assert rec2.mapq > 0, "repetitive end must be boosted by unique mate"
     assert rec1.mapq > 0
+
+
+def test_best_pair_batch_matches_loop_twin():
+    """_best_pair_batch is record-equal to _best_pair on randomized
+    windows (scores, strands, positions, window sizes incl. > _PAIR_W
+    fallback and empty windows)."""
+    from hsa_tpu.resolve.samse import Occurrence
+    from hsa_tpu.resolve.sampe import _best_pair, _best_pair_batch, _PAIR_W
+    rs = np.random.RandomState(77)
+
+    def rand_window(max_n):
+        n = rs.randint(0, max_n + 1)
+        occs = []
+        base = rs.randint(0, 3)
+        for _ in range(n):
+            occs.append(Occurrence(int(rs.randint(0, 100000)),
+                                   int(rs.randint(0, 2)),
+                                   int(base * 3 + rs.randint(0, 2) * 3),
+                                   0, 0, int(rs.randint(0, 2))))
+        occs.sort(key=lambda o: (o.score, o.strand, o.pos))
+        return occs
+
+    for mean, std in ((None, None), (200.0, 25.0)):
+        w1 = [rand_window(rs.choice([0, 1, 2, 4, _PAIR_W + 3]))
+              for _ in range(60)]
+        w2 = [rand_window(rs.choice([0, 1, 2, 4, _PAIR_W + 3]))
+              for _ in range(60)]
+        lens1 = [100] * 60
+        lens2 = [100] * 60
+        got = _best_pair_batch(w1, w2, lens1, lens2, mean, std, 500)
+        for j in range(60):
+            exp = _best_pair(w1[j], w2[j], lens1[j], lens2[j],
+                             mean, std, 500)
+            if exp is None:
+                assert got[j] is None, j
+                continue
+            ek, eo1, eo2, eins, enb, esub = exp
+            gk, go1, go2, gins, gnb, gsub = got[j]
+            assert ek == gk and eins == gins and enb == gnb \
+                and esub == gsub, (j, exp, got[j])
+            assert (eo1 is go1) and (eo2 is go2), j
+
+
+def test_discordant_pair_rescue():
+    """Both ends map but no FR-consistent combo (mate2's exact hit is a
+    planted far copy): the weaker end is SW-rescued into the anchor's FR
+    window (lineage bwa_paired_sw semantics, SURVEY §3.4)."""
+    from hsa_tpu.io.fastx import RefMeta
+    from hsa_tpu.resolve.samse import Occurrence
+    from hsa_tpu.resolve.sampe import resolve_pe_from_occurrences
+    rs = np.random.RandomState(41)
+    g = rs.randint(0, 4, 8000).astype(np.int8)
+    p, far, L = 1000, 5000, 50
+    r1 = g[p:p + L].copy()
+    true2 = g[p + 150:p + 200].copy()
+    mut2 = true2.copy()
+    mut2[10] = (mut2[10] + 1) % 4
+    mut2[30] = (mut2[30] + 2) % 4
+    r2 = alphabet.revcomp(mut2)         # 2mm reverse hit at p+150
+    g[far:far + L] = r2                 # exact forward hit at far
+    meta = RefMeta(names=["s"], starts=np.zeros(1, np.int64),
+                   lengths=np.asarray([len(g)], np.int64), total=len(g))
+    opt = AlnOpt(max_diff=2, max_gapo=1)
+    occs1 = [[Occurrence(p, 0, 0, 0, 0, 0)]]
+    occs2 = [[Occurrence(far, 0, 0, 0, 0, 0),
+              Occurrence(p + 150, 1, 6, 2, 0, 0)]]
+    recs = resolve_pe_from_occurrences(
+        g, meta, [r1], [r2], ["d0"], None, None, occs1, occs2, opt,
+        PEOpt())
+    a, b = recs
+    assert not (a.flag & F_UNMAP) and not (b.flag & F_UNMAP)
+    assert a.flag & F_PROPER and b.flag & F_PROPER, (a.to_sam(), b.to_sam())
+    assert b.pos == p + 150 + 1         # rescued into the FR window
+    assert b.tags.get("XT") == "M" and b.mapq == 0
+    assert b.flag & 0x10                # reverse strand
+
+
+def test_discordant_far_mate_stays_discordant():
+    """A genuinely distant mate (nothing alignable near the anchor)
+    fails the rescue screen: records stay non-proper with both original
+    placements."""
+    from hsa_tpu.io.fastx import RefMeta
+    from hsa_tpu.resolve.samse import Occurrence
+    from hsa_tpu.resolve.sampe import resolve_pe_from_occurrences
+    rs = np.random.RandomState(43)
+    g = rs.randint(0, 4, 8000).astype(np.int8)
+    p, far, L = 1000, 5000, 50
+    r1 = g[p:p + L].copy()
+    r2 = alphabet.revcomp(g[far:far + L].copy())   # reverse hit at far only
+    meta = RefMeta(names=["s"], starts=np.zeros(1, np.int64),
+                   lengths=np.asarray([len(g)], np.int64), total=len(g))
+    opt = AlnOpt(max_diff=2, max_gapo=1)
+    occs1 = [[Occurrence(p, 0, 0, 0, 0, 0)]]
+    occs2 = [[Occurrence(far, 1, 0, 0, 0, 0)]]
+    recs = resolve_pe_from_occurrences(
+        g, meta, [r1], [r2], ["d1"], None, None, occs1, occs2, opt,
+        PEOpt())
+    a, b = recs
+    assert not (a.flag & F_PROPER) and not (b.flag & F_PROPER)
+    assert a.pos == p + 1 and b.pos == far + 1
+    assert b.tags.get("XT") != "M"
