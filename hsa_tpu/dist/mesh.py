@@ -194,7 +194,8 @@ class ShardedIndex:
         jf = jax.jit(f)
         return lambda ranks: jf(ranks, *iargs)
 
-    def pigeon_fn(self, opt, n_seg, text_rows, cand_cap=16, with_kmer=False):
+    def pigeon_fn(self, opt, n_seg, text_rows, cand_cap=16, with_kmer=False,
+                  seg_cap=32, pool_mult=4):
         """jit fn(batch dict, md, [tk, tl]) -> PigeonResult, data-sharded.
 
         The flagship seed-and-verify engine on the sharded index: occ and
@@ -203,67 +204,86 @@ class ShardedIndex:
         packed text rows and the optional K-mer seed table replicate —
         ~0.8 GB + 128 MB at human scale, small next to the occ shards.
 
-        Reads are data-parallel; per-segment arrays arrive seg-major
-        [n_seg*B] and are resharded seg-first so each data slice keeps
-        whole reads.  ``fn`` accepts the dict from ``pack_pigeon_batch``.
+        Round 4: the batch rides the SAME fused uint32 upload buffer as
+        the single-chip path (one ``pack_pigeon_upload`` buffer per data
+        slice, stacked ``[n_data, L]`` and sharded on ``data``; vmask /
+        seedmask derived on device) — the per-array upload overhead the
+        tunnel charges (~4x, docs/TPU_NOTES.md v3) would otherwise
+        reopen on every sharded step.  ``fn`` accepts the dict from
+        ``pack_pigeon_batch``; lanes must divide ``n_data``.
         """
         from ..search import pigeon as pg
         iargs, ispecs = self._index_args()
         n_data = self.mesh.shape["data"]
+        jf_cache = {}
 
-        def core(trows, segs_rev, seg_lens, seg_off, rw, nmask, vmask,
-                 seedmask, lens, md, *rest):
-            rest = list(rest)
-            seed = None
-            if with_kmer:
-                tk, tl, km, km_ok, seg_short = rest[:5]
-                rest = rest[5:]
-                seed = (tk, tl, km.reshape(-1), km_ok.reshape(-1),
-                        seg_short.reshape(-1))
-            idx = self._local_idx(*rest)
-            SL = segs_rev.shape[2]
-            res = pg.pigeon_search(
-                idx, trows, segs_rev.reshape(-1, SL), seg_lens.reshape(-1),
-                seg_off.reshape(-1), rw, nmask, vmask, seedmask, lens, md,
-                opt, n_seg=n_seg, cand_cap=cand_cap, kmer_seed=seed)
-            # globalize the pool-2 lane owners AND the pool-1 slot ids so
-            # host finalization sees batch-global indices after concat
-            B_loc = lens.shape[0]
-            off = lax.axis_index("data").astype(jnp.int32) * B_loc
-            g_read = jnp.where(res.g_read < B_loc, res.g_read + off,
-                               n_data * B_loc)
-            cidx = res.cidx + off * jnp.int32(cand_cap)
-            return res._replace(g_read=g_read, cidx=cidx,
-                                n_gate=res.n_gate.reshape(1))
+        def build(shape_loc):
+            R_l, SL, B2_l, RW = shape_loc
 
-        from ..search.pigeon import PigeonResult
-        seg_specs = (P(None, "data", None), P(None, "data"), P(None, "data"))
-        kmer_specs = ((P(), P(), P(None, "data"), P(None, "data"),
-                       P(None, "data")) if with_kmer else ())
-        out_specs = PigeonResult(
-            pos=P("data"), nmm=P("data"), valid=P("data"), cidx=P("data"),
-            fallback=P("data"), n_cand=P("data"),
-            g_q=P("data", None), g_key=P("data", None), g_read=P("data"),
-            n_gate=P("data"), n_missed=P("data"))
-        f = jax.shard_map(core, mesh=self.mesh,
-                          in_specs=(P(), *seg_specs, P("data", None),
-                                    P("data", None), P("data", None),
-                                    P("data", None), P("data"), P("data"),
-                                    *kmer_specs, *ispecs),
-                          out_specs=out_specs, check_vma=False)
-        jf = jax.jit(f)
+            def core(buf, trows, *rest):
+                rest = list(rest)
+                tk = rest.pop(0) if with_kmer else None
+                tl = rest.pop(0) if with_kmer else None
+                idx = self._local_idx(*rest)
+                (segs_rev, seg_lens, seg_off, kmer, kmer_ok, seg_short,
+                 rw, nmask, lens, md) = pg.unpack_pigeon_upload(
+                    buf.reshape(-1), shape_loc)
+                seed = ((tk, tl, kmer, kmer_ok, seg_short)
+                        if with_kmer else None)
+                res = pg.pigeon_search(
+                    idx, trows, segs_rev, seg_lens, seg_off, rw, nmask,
+                    None, None, lens, md, opt, n_seg=n_seg,
+                    cand_cap=cand_cap, seg_cap=seg_cap,
+                    pool=pool_mult * B2_l, gpool=B2_l, kmer_seed=seed)
+                # globalize the pool-2 lane owners AND the pool-1 slot ids
+                # so host finalization sees batch-global indices
+                off = lax.axis_index("data").astype(jnp.int32) * B2_l
+                g_read = jnp.where(res.g_read < B2_l, res.g_read + off,
+                                   n_data * B2_l)
+                cidx = res.cidx + off * jnp.int32(cand_cap)
+                return res._replace(g_read=g_read, cidx=cidx,
+                                    n_gate=res.n_gate.reshape(1))
+
+            from ..search.pigeon import PigeonResult
+            kmer_specs = (P(), P()) if with_kmer else ()
+            out_specs = PigeonResult(
+                pos=P("data"), nmm=P("data"), valid=P("data"), cidx=P("data"),
+                fallback=P("data"), n_cand=P("data"),
+                g_q=P("data", None), g_key=P("data", None), g_read=P("data"),
+                n_gate=P("data"), n_missed=P("data"))
+            f = jax.shard_map(core, mesh=self.mesh,
+                              in_specs=(P("data", None), P(), *kmer_specs,
+                                        *ispecs),
+                              out_specs=out_specs, check_vma=False)
+            return jax.jit(f)
 
         def run(batch, md, tk=None, tl=None):
+            B2 = batch["lens"].shape[0]
+            assert B2 % n_data == 0, \
+                f"lanes {B2} must divide the data axis {n_data}"
+            B2_l = B2 // n_data
             SL = batch["segs_rev"].shape[1]
-            args = [text_rows,
-                    batch["segs_rev"].reshape(n_seg, -1, SL),
-                    batch["seg_lens"].reshape(n_seg, -1),
-                    batch["seg_off"].reshape(n_seg, -1),
-                    batch["rw"], batch["nmask"], batch["vmask"],
-                    batch["seedmask"], batch["lens"], md]
+            md = np.asarray(md, np.int32)
+            def lane_slice(v, sl):
+                # seg-major [n_seg*B2, ...] rows -> the slice's lanes from
+                # every segment block; per-lane [B2, ...] arrays slice flat
+                if v.shape[0] == n_seg * B2:
+                    return (v.reshape((n_seg, B2) + v.shape[1:])[:, sl]
+                            .reshape((n_seg * B2_l,) + v.shape[1:]))
+                return v[sl]
+
+            bufs = []
+            for s in range(n_data):
+                sl = slice(s * B2_l, (s + 1) * B2_l)
+                sub = {k: lane_slice(v, sl) for k, v in batch.items()}
+                bufs.append(pg.pack_pigeon_upload(sub, md[sl])[0])
+            buf2 = np.stack(bufs)
+            shape_loc = (n_seg * B2_l, SL, B2_l, batch["rw"].shape[1])
+            jf = jf_cache.get(shape_loc)
+            if jf is None:
+                jf = jf_cache[shape_loc] = build(shape_loc)
+            args = [buf2, text_rows]
             if with_kmer:
-                args += [tk, tl, batch["kmer"].reshape(n_seg, -1),
-                         batch["kmer_ok"].reshape(n_seg, -1),
-                         batch["seg_short"].reshape(n_seg, -1)]
+                args += [tk, tl]
             return jf(*args, *iargs)
         return run

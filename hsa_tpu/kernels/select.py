@@ -180,7 +180,18 @@ def select_topk(key, payloads, K: int, window=None, drop_accum=None, *,
         args.append(d)
     fn = _build_select(C, Bp, K, len(payloads), window is not None,
                        drop_accum is not None, bool(interpret), lanes)
-    outs = fn(*args)
+    try:
+        outs = fn(*args)
+    except Exception:
+        # Mosaic scoped-vmem stack OOM is shape- and build-dependent (the
+        # C*K guard above covers the systematic cases, but e.g. [352, 512]
+        # K=32 was observed to need 22.7M vs the 16M limit on some AOT
+        # builds) — fall back to the XLA sort rather than fail the batch
+        okey, pouts, nd = select_topk_reference(key, payloads, K, window)
+        nd = nd.reshape(1, B)
+        if drop_accum is not None:
+            nd = drop_accum.astype(jnp.uint32).reshape(1, B) + nd
+        return jnp.concatenate([okey, nd], axis=0), pouts, nd
     okeyd = outs[0][:, :B]       # [K+1, B]: rows 0..K-1 keys, row K drops
     pouts = tuple(o[:, :B] for o in outs[1:1 + len(payloads)])
     return okeyd, pouts, okeyd[K:K + 1]

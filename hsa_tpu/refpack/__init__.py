@@ -233,6 +233,68 @@ def banded_global(read: np.ndarray, ref: np.ndarray, s_mm: int, s_gapo: int,
     return int(cost[0]), cigar, int(jend[0])
 
 
+def banded_batch(reads_buf: np.ndarray, r_off: np.ndarray, r_len: np.ndarray,
+                 text: np.ndarray, g_off: np.ndarray, g_len: np.ndarray,
+                 s_mm: int, s_gapo: int, s_gape: int, bands: np.ndarray):
+    """Batched native banded DP + gapped record stats.
+
+    One C call for every gapped record core of a batch (the per-record
+    ctypes round trips dominated gapped-config host resolution —
+    VERDICT r4 profile: ~70% of resolve_ms).  ``reads_buf`` is a flat
+    uint8 code buffer addressed by ``r_off``; ``text`` likewise by
+    ``g_off`` (no window copies).  Returns (cigar_strs, md_strs, nm,
+    glen, gap_bases) with cigar_stats-identical semantics, or None when
+    the native library is absent.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "rp_banded_batch"):
+        return None
+    n = int(len(r_len))
+    z = np.zeros(0, np.int32)
+    if n == 0:
+        return [], [], z, z, z
+    rb = (reads_buf.view(np.uint8) if reads_buf.dtype.itemsize == 1
+          and reads_buf.flags.c_contiguous
+          else np.ascontiguousarray(reads_buf, np.uint8))
+    t8 = (text.view(np.uint8) if text.dtype.itemsize == 1
+          and text.flags.c_contiguous
+          else np.ascontiguousarray(text, np.uint8))
+    r_off = np.ascontiguousarray(r_off, np.int64)
+    g_off = np.ascontiguousarray(g_off, np.int64)
+    r_len = np.ascontiguousarray(r_len, np.int32)
+    g_len = np.ascontiguousarray(g_len, np.int32)
+    bands = np.ascontiguousarray(bands, np.int32)
+    span = int(r_len.max()) + int(g_len.max())
+    cig_cap = 4 * span + 16
+    md_cap = 6 * span + 16
+    cig = np.empty((n, cig_cap), np.uint8)
+    md = np.empty((n, md_cap), np.uint8)
+    cig_n = np.zeros(n, np.int32)
+    md_n = np.zeros(n, np.int32)
+    nm = np.zeros(n, np.int32)
+    glen = np.zeros(n, np.int32)
+    gapb = np.zeros(n, np.int32)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.rp_banded_batch(
+        _u8(rb), r_off.ctypes.data_as(i64), r_len.ctypes.data_as(i32),
+        _u8(t8), g_off.ctypes.data_as(i64), g_len.ctypes.data_as(i32),
+        n, s_mm, s_gapo, s_gape, bands.ctypes.data_as(i32),
+        _u8(cig), cig_cap, cig_n.ctypes.data_as(i32),
+        _u8(md), md_cap, md_n.ctypes.data_as(i32),
+        nm.ctypes.data_as(i32), glen.ctypes.data_as(i32),
+        gapb.ctypes.data_as(i32))
+    if rc != 0:
+        raise RuntimeError(f"rp_banded_batch failed: {rc}")
+    cbytes = cig.tobytes()
+    mbytes = md.tobytes()
+    cigs = [cbytes[i * cig_cap:i * cig_cap + int(cig_n[i])].decode()
+            for i in range(n)]
+    mds = [mbytes[i * md_cap:i * md_cap + int(md_n[i])].decode()
+           for i in range(n)]
+    return cigs, mds, nm, glen, gapb
+
+
 def unpack_2bit(packed: np.ndarray, n: int) -> np.ndarray:
     p = np.ascontiguousarray(packed, dtype=np.uint8)
     out = np.empty(n, dtype=np.uint8)

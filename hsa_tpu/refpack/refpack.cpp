@@ -330,7 +330,7 @@ extern "C" int rp_pigeon_pack(
 // M > D > I traceback tie-break — so CIGARs are byte-identical (fuzzed in
 // tests/test_refpack.py).  ops_out bytes: 0=M, 1=I, 2=D, in read order.
 
-extern "C" int rp_banded_global(
+static int banded_core(
     const uint8_t* read, int32_t L, const uint8_t* ref, int32_t G,
     int32_t s_mm, int32_t s_gapo, int32_t s_gape, int32_t band,
     uint8_t* ops_out, int32_t* n_ops, int32_t* cost_out, int32_t* jend_out) {
@@ -412,5 +412,131 @@ extern "C" int rp_banded_global(
     uint8_t t = ops_out[a]; ops_out[a] = ops_out[b]; ops_out[b] = t;
   }
   *n_ops = n;
+  return 0;
+}
+
+extern "C" int rp_banded_global(
+    const uint8_t* read, int32_t L, const uint8_t* ref, int32_t G,
+    int32_t s_mm, int32_t s_gapo, int32_t s_gape, int32_t band,
+    uint8_t* ops_out, int32_t* n_ops, int32_t* cost_out, int32_t* jend_out) {
+  return banded_core(read, L, ref, G, s_mm, s_gapo, s_gape, band,
+                     ops_out, n_ops, cost_out, jend_out);
+}
+
+// ---------------------------------------------------------------------------
+// Batched banded DP + record stats (the gapped record cores of
+// hsa_tpu.resolve.samse/sampe).  One call replaces thousands of per-record
+// ctypes round trips (~40us each — they dominated gapped-config host
+// resolution), and the textual CIGAR, MD tag, NM, and gap-base count are
+// emitted here so the Python record loop does f-string assembly only.
+// Semantics mirror resolve.cigar.cigar_stats exactly (fuzz-tested).
+
+static inline int32_t put_u32(uint8_t* dst, uint32_t v) {
+  char tmp[12];
+  int32_t k = 0;
+  if (v == 0) tmp[k++] = '0';
+  while (v) { tmp[k++] = (char)('0' + v % 10); v /= 10; }
+  for (int32_t a = 0; a < k; ++a) dst[a] = (uint8_t)tmp[k - 1 - a];
+  return k;
+}
+
+static const char kBase[6] = {'A', 'C', 'G', 'T', 'N', 'N'};
+
+static void banded_batch_range(
+    const uint8_t* reads, const int64_t* r_off, const int32_t* r_len,
+    const uint8_t* text, const int64_t* g_off, const int32_t* g_len,
+    int32_t lo, int32_t hi, int32_t s_mm, int32_t s_gapo, int32_t s_gape,
+    const int32_t* band, uint8_t* cig_txt, int32_t cig_cap, int32_t* cig_n,
+    uint8_t* md_txt, int32_t md_cap, int32_t* md_n,
+    int32_t* nm_out, int32_t* glen_out, int32_t* gapb_out, int* err) {
+  std::vector<uint8_t> ops;
+  for (int32_t it = lo; it < hi; ++it) {
+    const uint8_t* rd = reads + r_off[it];
+    const uint8_t* rf = text + g_off[it];
+    const int32_t L = r_len[it], G = g_len[it];
+    ops.resize((size_t)L + G + 2);
+    int32_t n_ops = 0, cost = 0, jend = 0;
+    int rc = banded_core(rd, L, rf, G, s_mm, s_gapo, s_gape, band[it],
+                         ops.data(), &n_ops, &cost, &jend);
+    if (rc != 0) { *err = rc; return; }
+    glen_out[it] = jend;
+    // one pass over ops: RLE cigar text + MD + NM + gap bases
+    uint8_t* ct = cig_txt + (int64_t)it * cig_cap;
+    uint8_t* mt = md_txt + (int64_t)it * md_cap;
+    int32_t cn = 0, mn = 0, nm = 0, gapb = 0;
+    int32_t i = 0, j = 0, match_run = 0;
+    int32_t p = 0;
+    while (p < n_ops) {
+      int32_t q = p;
+      const uint8_t op = ops[p];
+      while (q < n_ops && ops[q] == op) ++q;
+      const int32_t run = q - p;
+      if (cn + 14 > cig_cap || mn + 14 + run > md_cap) { *err = -3; return; }
+      cn += put_u32(ct + cn, (uint32_t)run);
+      if (op == 0) {          // M
+        ct[cn++] = 'M';
+        for (int32_t t = 0; t < run; ++t, ++i, ++j) {
+          if (rd[i] <= 3 && rd[i] == rf[j]) { ++match_run; continue; }
+          ++nm;
+          if (mn + 14 > md_cap) { *err = -3; return; }
+          mn += put_u32(mt + mn, (uint32_t)match_run);
+          mt[mn++] = (uint8_t)kBase[rf[j] < 4 ? rf[j] : 4];
+          match_run = 0;
+        }
+      } else if (op == 1) {   // I (consumes read)
+        ct[cn++] = 'I';
+        nm += run; gapb += run; i += run;
+      } else {                // D (consumes ref)
+        ct[cn++] = 'D';
+        nm += run; gapb += run;
+        mn += put_u32(mt + mn, (uint32_t)match_run);
+        match_run = 0;
+        mt[mn++] = '^';
+        for (int32_t t = 0; t < run; ++t, ++j)
+          mt[mn++] = (uint8_t)kBase[rf[j] < 4 ? rf[j] : 4];
+      }
+      p = q;
+    }
+    if (mn + 12 > md_cap) { *err = -3; return; }
+    mn += put_u32(mt + mn, (uint32_t)match_run);
+    cig_n[it] = cn;
+    md_n[it] = mn;
+    nm_out[it] = nm;
+    gapb_out[it] = gapb;
+  }
+}
+
+extern "C" int rp_banded_batch(
+    const uint8_t* reads, const int64_t* r_off, const int32_t* r_len,
+    const uint8_t* text, const int64_t* g_off, const int32_t* g_len,
+    int32_t n, int32_t s_mm, int32_t s_gapo, int32_t s_gape,
+    const int32_t* band,
+    uint8_t* cig_txt, int32_t cig_cap, int32_t* cig_n,
+    uint8_t* md_txt, int32_t md_cap, int32_t* md_n,
+    int32_t* nm_out, int32_t* glen_out, int32_t* gapb_out) {
+  if (n < 0) return -1;
+  int errs[8] = {0};
+  const int nthreads = n > 512 ? 8 : 1;
+  if (nthreads == 1) {
+    banded_batch_range(reads, r_off, r_len, text, g_off, g_len, 0, n,
+                       s_mm, s_gapo, s_gape, band, cig_txt, cig_cap, cig_n,
+                       md_txt, md_cap, md_n, nm_out, glen_out, gapb_out,
+                       &errs[0]);
+  } else {
+    std::vector<std::thread> ts;
+    const int32_t step = (n + nthreads - 1) / nthreads;
+    for (int i = 0; i < nthreads; ++i) {
+      const int32_t lo = i * step;
+      const int32_t hi = lo + step < n ? lo + step : n;
+      if (lo >= hi) break;
+      ts.emplace_back(banded_batch_range, reads, r_off, r_len, text, g_off,
+                      g_len, lo, hi, s_mm, s_gapo, s_gape, band, cig_txt,
+                      cig_cap, cig_n, md_txt, md_cap, md_n, nm_out, glen_out,
+                      gapb_out, &errs[i]);
+    }
+    for (auto& t : ts) t.join();
+  }
+  for (int i = 0; i < nthreads && i < 8; ++i)
+    if (errs[i] != 0) return errs[i];
   return 0;
 }

@@ -367,6 +367,67 @@ def _bulk_ungapped_cores(text, meta, jobs, opt):
     return out
 
 
+def _bulk_gapped_cores(text, meta, jobs, opt):
+    """Batched banded-DP record cores for GAPPED occurrences — the PE
+    analog of samse's batched pick/alternate cores: one native
+    ``rp_banded_batch`` call replaces per-record ctypes round trips.
+    Byte-equal to :func:`hsa_tpu.resolve.samse._make_record` for
+    ngap > 0 (flag carries strand only; qname/mapq set by the caller).
+    """
+    from .samse import _DECODE_LUT
+    from .. import refpack as _rp
+    out = {}
+    if not jobs:
+        return out
+    t_arr = np.asarray(text)
+    Lmax = max(len(r) for _k, r, _q, _o in jobs)
+    NJ = len(jobs)
+    rd = np.full((NJ, Lmax), 4, np.uint8)
+    pos = np.empty(NJ, np.int64)
+    lens_ = np.empty(NJ, np.int64)
+    ngap_ = np.empty(NJ, np.int64)
+    for i, (_k, r, _q, o) in enumerate(jobs):
+        a = np.asarray(r, np.uint8)
+        if o.strand:
+            a = np.where(a <= 3, 3 - a, a)[::-1].astype(np.uint8)
+        rd[i, :len(r)] = a
+        pos[i] = o.pos
+        lens_[i] = len(r)
+        ngap_[i] = o.ngapo + o.ngape
+    starts_a = np.asarray(meta.starts, np.int64)
+    lengths_a = np.asarray(meta.lengths, np.int64)
+    si = np.clip(np.searchsorted(starts_a, pos, side="right") - 1,
+                 0, len(starts_a) - 1)
+    glen_w = np.minimum(lens_ + ngap_, starts_a[si] + lengths_a[si] - pos)
+    out_b = _rp.banded_batch(rd, np.arange(NJ, dtype=np.int64) * Lmax,
+                             lens_.astype(np.int32), t_arr, pos,
+                             glen_w.astype(np.int32), opt.s_mm, opt.s_gapo,
+                             opt.s_gape, (ngap_ + 1).astype(np.int32))
+    if out_b is None:              # native lib absent: per-record twin
+        for key, r, qual, o in jobs:
+            out[key] = _make_record(text, meta, r, "", qual, o, 0, opt)
+        return out
+    cigs, mds, nm, gln, gapb = out_b
+    chars = _DECODE_LUT[np.minimum(rd, 5)]
+    has_amb = bool(meta.amb_runs)
+    for i, (key, r, qual, o) in enumerate(jobs):
+        L = int(lens_[i])
+        seq = chars[i, :L].tobytes().decode()
+        q = (qual[::-1] if (o.strand and qual and qual != "*") else qual) \
+            or "*"
+        ri = int(si[i])
+        rec = AlnRecord("", 16 if o.strand else 0, meta.names[ri],
+                        int(pos[i] - starts_a[ri]) + 1, 0, cigs[i], seq, q)
+        rec.tags.update(NM=int(nm[i]), MD=mds[i], XM=o.nmm, XO=o.ngapo,
+                        XG=int(gapb[i]))
+        if has_amb:
+            xn = meta.count_amb(o.pos, int(gln[i]))
+            if xn:
+                rec.tags["XN"] = xn
+        out[key] = rec
+    return out
+
+
 def resolve_pe_from_occurrences(text, meta, reads1, reads2, names, quals1,
                                 quals2, occs1, occs2, opt: AlnOpt,
                                 peopt: PEOpt | None = None,
@@ -460,23 +521,27 @@ def resolve_pe_from_occurrences(text, meta, reads1, reads2, names, quals1,
             rescued_flags[j][1] = True
         choices[j][2] = True
 
-    # ---- phase C prep: bulk ungapped record cores ------------------------
+    # ---- phase C prep: bulk record cores (ungapped + batched gapped) -----
     jobs = []
+    gjobs = []
     for j in range(B):
         o1, o2, proper = choices[j]
         for endno, (o, reads_s, quals_s, occ) in enumerate((
                 (o1, reads1, quals1, occs1[j]), (o2, reads2, quals2, occs2[j]))):
-            if o is not None and o.ngapo + o.ngape == 0:
-                jobs.append(((j, endno),
-                             reads_s[j], quals_s[j] if quals_s else "*", o))
-            # XA alternates of this end (window members, ungapped only)
+            if o is not None:
+                (jobs if o.ngapo + o.ngape == 0 else gjobs).append(
+                    ((j, endno),
+                     reads_s[j], quals_s[j] if quals_s else "*", o))
+            # XA alternates of this end (window members, both kinds)
             if o is not None and occ:
                 window = _window_occs(occ, opt.s_mm)
                 for x in window:
-                    if x is not o and x.ngapo + x.ngape == 0:
-                        jobs.append(((j, endno, id(x)), reads_s[j],
-                                     quals_s[j] if quals_s else "*", x))
+                    if x is not o:
+                        (jobs if x.ngapo + x.ngape == 0 else gjobs).append(
+                            ((j, endno, id(x)), reads_s[j],
+                             quals_s[j] if quals_s else "*", x))
     cores = _bulk_ungapped_cores(text, meta, jobs, opt)
+    cores.update(_bulk_gapped_cores(text, meta, gjobs, opt))
 
     # ---- phase C: record building ----------------------------------------
     records = []

@@ -439,6 +439,131 @@ def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
     mmrows_l = {j: v.tolist() for j, v in mm_rows.items()}
     winmm_l = {j: win_of[j][mm_rows[j]].tolist() for j in mm_rows}
 
+    # ---- gapped record cores + XA alternates, batched ------------------
+    # ONE native rp_banded_batch call covers every gapped pick and every
+    # gapped XA alternate (the per-record ctypes round trips were ~70%
+    # of gapped-config resolve_ms — round-4 profile); ungapped-alternate
+    # NM counts ride a single window gather.  The emit loop below then
+    # only assembles strings.
+    xa_of: dict[int, str] = {}
+    pickgap: dict[int, tuple] = {}
+    n_multi = sopt.n_multi
+    if rid.size:
+        from .. import refpack as _rp
+        starts_a = np.asarray(meta.starts, np.int64)
+        lengths_a = np.asarray(meta.lengths, np.int64)
+        alt_j: list[int] = []
+        alt_oi: list[int] = []
+        for j in range(B):
+            gidx = g_of_l[j]
+            if gidx < 0:
+                continue
+            nw = nwin_l[gidx]
+            if not (1 < nw <= n_multi + 1
+                    or (c1_l[gidx] == 1 and 0 < c2_l[gidx] <= n_multi)):
+                continue
+            s0 = grp_first_l[gidx]
+            s1 = s0 + grp_cnt_l[gidx]
+            pk = pick_idx_l[gidx]
+            cnt = 0
+            for oi in range(s0, s1):
+                if oi == pk or not wmask_l[oi]:
+                    continue
+                if cnt >= n_multi:
+                    break
+                alt_j.append(j)
+                alt_oi.append(oi)
+                cnt += 1
+        aj = np.asarray(alt_j, np.int64)
+        ao = np.asarray(alt_oi, np.int64)
+        a_pos = pos[ao]
+        a_str = strand[ao].astype(np.int64)
+        a_ngap = ngap[ao]
+        a_L = lens[aj]
+        asi = np.clip(np.searchsorted(starts_a, a_pos, side="right") - 1,
+                      0, len(starts_a) - 1)
+        a_end = starts_a[asi] + lengths_a[asi]
+        gj = np.maximum(g_of_read, 0)
+        gpp = np.flatnonzero((g_of_read >= 0) & ((p_go + p_ge)[gj] > 0))
+        gp_g = g_of_read[gpp]
+        ga_idx = np.flatnonzero(a_ngap > 0)
+        n_pk, n_ga = len(gpp), len(ga_idx)
+        cigs: list = []
+        nmb = glb = gbb = None
+        mds: list = []
+        if n_pk + n_ga:
+            pk_si = np.clip(psi[gp_g], 0, len(starts_a) - 1)
+            reads_all = np.ascontiguousarray(
+                np.concatenate([rdmat, rcmat], axis=0))
+            j_roff = np.concatenate(
+                [(p_str[gp_g].astype(np.int64) * B + gpp) * Lmax,
+                 (a_str[ga_idx] * B + aj[ga_idx]) * Lmax])
+            j_rlen = np.concatenate([lens[gpp], a_L[ga_idx]])
+            j_goff = np.concatenate([p_pos[gp_g], a_pos[ga_idx]])
+            j_ngap = np.concatenate([(p_go + p_ge)[gp_g], a_ngap[ga_idx]])
+            ends = np.concatenate([starts_a[pk_si] + lengths_a[pk_si],
+                                   a_end[ga_idx]])
+            j_glen = np.minimum(j_rlen + j_ngap, ends - j_goff)
+            j_band = (j_ngap + 1).astype(np.int32)
+            out = _rp.banded_batch(reads_all, j_roff,
+                                   j_rlen.astype(np.int32), np.asarray(text),
+                                   j_goff, j_glen.astype(np.int32),
+                                   opt.s_mm, opt.s_gapo, opt.s_gape, j_band)
+            if out is None:       # native lib absent: per-job python twin
+                txt = np.asarray(text)
+                nmb = np.zeros(n_pk + n_ga, np.int64)
+                glb = np.zeros(n_pk + n_ga, np.int64)
+                gbb = np.zeros(n_pk + n_ga, np.int64)
+                rall = reads_all.reshape(2 * B, Lmax)
+                for i in range(n_pk + n_ga):
+                    rd = rall[int(j_roff[i]) // Lmax, :int(j_rlen[i])]
+                    rf = txt[int(j_goff[i]):int(j_goff[i]) + int(j_glen[i])]
+                    _, cg, je = banded_global(rd, rf, opt.s_mm, opt.s_gapo,
+                                              opt.s_gape,
+                                              band=int(j_band[i]))
+                    nm2, md2 = cigar_stats(cg, rd, rf)
+                    cigs.append(cigar_string(cg))
+                    mds.append(md2)
+                    nmb[i] = nm2
+                    glb[i] = je
+                    gbb[i] = sum(ln for op, ln in cg if op in ("I", "D"))
+            else:
+                cigs, mds, nmb, glb, gbb = out
+            for i, j in enumerate(gpp.tolist()):
+                pickgap[j] = (cigs[i], mds[i], int(nmb[i]), int(glb[i]),
+                              int(gbb[i]))
+        # ungapped alternates: NM via one window gather
+        a_nm = np.zeros(len(ao), np.int64)
+        ug_idx = np.flatnonzero(a_ngap == 0)
+        if len(ug_idx):
+            n_text_i = len(text)
+            t2 = np.arange(Lmax)
+            widx = np.minimum(a_pos[ug_idx][:, None] + t2[None, :],
+                              n_text_i - 1)
+            win2 = np.asarray(text)[widx]
+            rows2 = np.where(a_str[ug_idx].astype(bool)[:, None],
+                             rcmat[aj[ug_idx]], rdmat[aj[ug_idx]])
+            mm2 = ((rows2 != win2) | (rows2 > 3)) \
+                & (t2[None, :] < a_L[ug_idx][:, None])
+            a_nm[ug_idx] = mm2.sum(axis=1)
+        if len(ao):
+            gpos = np.full(len(ao), -1, np.int64)
+            gpos[ga_idx] = n_pk + np.arange(n_ga)
+            a_off1 = (a_pos - starts_a[asi] + 1).tolist()
+            gpos_l = gpos.tolist()
+            a_nm_l = a_nm.tolist()
+            a_L_l = a_L.tolist()
+            a_str_l = a_str.tolist()
+            nm_parts: dict[int, list] = {}
+            for i, j in enumerate(alt_j):
+                gi = gpos_l[i]
+                cg = f"{a_L_l[i]}M" if gi < 0 else cigs[gi]
+                nm_i = a_nm_l[i] if gi < 0 else int(nmb[gi])
+                nm_parts.setdefault(j, []).append(
+                    f"{meta.names[asi[i]]},{'-' if a_str_l[i] else '+'}"
+                    f"{a_off1[i]},{cg},{nm_i}")
+            xa_of = {j: ";".join(p) + ";" for j, p in nm_parts.items()}
+
     emit_sam = emit == "sam"
     records = []
     flags_out = []
@@ -471,24 +596,8 @@ def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
             flag = 0
         mapq = mapq_l[gidx]
         c1 = c1_l[gidx]
-        # XA alternates (window order, pick excluded, first n_multi)
-        xa = None
-        nw = nwin_l[gidx]
-        if 1 < nw <= n_multi + 1 or (c1 == 1 and 0 < c2_l[gidx] <= n_multi):
-            s0, s1 = grp_first_l[gidx], grp_first_l[gidx] + grp_cnt_l[gidx]
-            parts = []
-            for oi in range(s0, s1):
-                if oi == pick_idx_l[gidx] or not wmask_l[oi]:
-                    continue
-                if len(parts) >= n_multi:
-                    break
-                o = Occurrence(int(pos[oi]), int(strand[oi]), int(score[oi]),
-                               int(nmm[oi]), int(ngapo[oi]), int(ngape[oi]))
-                arec = _make_record(text, meta, reads[j], name, qual, o, 0, opt)
-                parts.append(f"{arec.rname},{'-' if o.strand else '+'}"
-                             f"{arec.pos},{arec.cigar},{arec.tags['NM']}")
-            if parts:
-                xa = ";".join(parts) + ";"
+        # XA alternates: precomputed above (batched DP / window gather)
+        xa = xa_of.get(j)
         nm_j = nm_of.get(j)
         if nm_j is not None:
             # ungapped: "LM" CIGAR, MD from mismatch positions
@@ -524,9 +633,22 @@ def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
             if xn:
                 rec.tags["XN"] = xn
         else:
-            o = Occurrence(p_pos_l[gidx], st, pick_sc_l[gidx],
-                           p_nmm_l[gidx], p_go_l[gidx], p_ge_l[gidx])
-            rec = _make_record(text, meta, reads[j], name, qual, o, mapq, opt)
+            pg = pickgap.get(j)
+            if pg is not None:     # batched gapped pick core
+                cig_s, md_s, nm_b, glen_b, gapb_b = pg
+                rec = AlnRecord(name, flag, rname_l[gidx], off1_l[gidx],
+                                mapq, cig_s, seq, q)
+                rec.tags.update(NM=nm_b, MD=md_s, XM=p_nmm_l[gidx],
+                                XO=p_go_l[gidx], XG=gapb_b)
+                if has_amb:
+                    xn = meta.count_amb(p_pos_l[gidx], glen_b)
+                    if xn:
+                        rec.tags["XN"] = xn
+            else:                  # defensive twin (unreachable in practice)
+                o = Occurrence(p_pos_l[gidx], st, pick_sc_l[gidx],
+                               p_nmm_l[gidx], p_go_l[gidx], p_ge_l[gidx])
+                rec = _make_record(text, meta, reads[j], name, qual, o, mapq,
+                                   opt)
         rec.tags["XT"] = "U" if c1 == 1 else "R"
         rec.tags["X0"] = c1
         if not truncated[j]:

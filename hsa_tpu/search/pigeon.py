@@ -458,7 +458,11 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
     Lr = jnp.take(lens, lane_id)
     a_start = (Lr * s_idx) // n_seg
     rem = seg_off - a_start
-    wide0 = matched & (w > U32(seg_cap)) & (rem > 0)
+    # any wide anchor with read bases to its left can narrow: within its
+    # own segment (phase 1, completeness-sound) and/or past the segment
+    # boundary (phase 2, heuristic) — full-segment anchors (rem == 0,
+    # e.g. kmer_k = 0 packing) skip phase 1 and go straight to phase 2
+    wide0 = matched & (w > U32(seg_cap)) & (seg_off > 0)
     WPOOL = max(R // 4, 64)
     n_wide = wide0.sum()
     widx = jnp.nonzero(wide0, size=WPOOL, fill_value=R)[0]
@@ -496,7 +500,54 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
     _, ek, el, eoff, _, killw = lax.while_loop(
         ext_cond, ext_body,
         (jnp.int32(0), jnp.take(k, gix), jnp.take(l, gix),
-         jnp.take(seg_off, gix), in_w, jnp.zeros(WPOOL, bool)))
+         jnp.take(seg_off, gix), in_w & (jnp.take(rem, gix) > 0),
+         jnp.zeros(WPOOL, bool)))
+
+    # 1c. over-extension (phase 2): lanes STILL wide after consuming their
+    # whole segment are genuine repeats (the full segment occurs
+    # > seg_cap times); enumerating seg_cap of thousands of copies rarely
+    # samples the true locus, so keep extending LEFT past the segment
+    # boundary through the read.  This is a heuristic narrowing, not a
+    # completeness proof (the true alignment may hold a mismatch in the
+    # extended span — then the narrowed interval excludes it), so an
+    # empty extension or an N FREEZES the lane at its last good interval
+    # instead of killing it, and every position the over-extension
+    # excludes is counted into ``n_missed`` (truncation -> conservative
+    # MAPQ; a read left with no verifying candidate still re-runs on the
+    # beam).  Candidates that survive match a strictly longer exact
+    # substring of the read, which is what makes them likely to verify.
+    EXT2 = 16 * DW                     # read-length bound; loop is
+    w1 = el - ek + U32(1)              # data-dependent and exits early
+
+    def ext2_cond(carry):
+        t, _ek, _el, _eo, alive = carry
+        return (t < EXT2) & alive.any()
+
+    def ext2_body(carry):
+        t, ek, el, eoff, alive = carry
+        p = eoff - 1                   # alive => eoff > 0
+        flat = jnp.clip(wlane * RW + (p >> 4), 0, nwords - 1)
+        sh_p = U32(2) * (p & 15).astype(U32)
+        pw = lax.optimization_barrier(jnp.take(rw_flat, flat))
+        base = (pw >> sh_p) & U32(3)
+        is_n = ((jnp.take(nm_flat, flat) >> sh_p) & U32(1)) == U32(1)
+        k2, l2 = fm.extend(idx, base, ek, el)
+        good = alive & ~is_n & (k2 <= l2)
+        ek = jnp.where(good, k2, ek)
+        el = jnp.where(good, l2, el)
+        eoff = jnp.where(good, eoff - 1, eoff)
+        alive = good & (el - ek + U32(1) > U32(seg_cap)) & (eoff > 0)
+        return (t + 1, ek, el, eoff, alive)
+
+    alive2 = in_w & ~killw & (w1 > U32(seg_cap)) & (eoff > 0)
+    _, ek, el, eoff, _ = lax.while_loop(
+        ext2_cond, ext2_body, (jnp.int32(0), ek, el, eoff, alive2))
+    # positions excluded by the over-extension are missed candidates
+    w2 = el - ek + U32(1)
+    ext2_missed = jnp.where(alive2, jnp.minimum(w1 - w2, U32(1) << U32(24)),
+                            U32(0)).astype(I32)
+    extra_missed = jnp.zeros(R, I32).at[widx].add(ext2_missed, mode="drop")
+
     k = k.at[widx].set(ek, mode="drop")
     l = l.at[widx].set(el, mode="drop")
     seg_off = seg_off.at[widx].set(eoff, mode="drop")
@@ -505,7 +556,7 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
 
     c_full = jnp.where(matched, w, U32(0)).astype(I32)
     c = jnp.minimum(c_full, seg_cap).reshape(n_seg, B)
-    n_missed = (c_full - jnp.minimum(c_full, seg_cap)) \
+    n_missed = (c_full - jnp.minimum(c_full, seg_cap) + extra_missed) \
         .reshape(n_seg, B).sum(axis=0)
     kk = k.reshape(n_seg, B)
     soff = seg_off.reshape(n_seg, B)

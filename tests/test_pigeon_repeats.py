@@ -187,6 +187,25 @@ def test_extension_empty_interval_drops_segment():
     assert occs[0] == []
 
 
+def test_over_extension_narrows_through_unique_flank():
+    """All exact segments wide (in-repeat) and the mismatches confined
+    to the unique 5' flank: phase-2 over-extension crosses the segment
+    boundary, narrows on the unique flank, and the TRUE locus is among
+    the enumerated candidates (round-4 repeat tolerance — without it
+    the capped sample of 40 identical copies usually misses the true
+    one and the read re-ran on the ~40x-slower beam)."""
+    L = 90
+    p = COPIES[7] - 10              # 10bp unique flank + 80bp repeat
+    read = TEXT[p:p + L].copy()
+    read[2] = (read[2] + 1) % 4     # both mismatches in the flank, so
+    read[6] = (read[6] + 2) % 4     # segments 1/2 are exact but wide
+    occs, fb, missed = run([read])
+    assert not fb[0]
+    assert any(o.pos == p and o.nmm == 2 for o in occs[0]), \
+        [(o.pos, o.nmm) for o in occs[0]]
+    assert missed[0] > 0            # excluded copies stay accounted
+
+
 def test_trunc_mapq_suppressed_end_to_end():
     """Aligner.align on in-repeat reads: records map with LOW mapq
     (multi-mapping or truncation-capped), never confidently."""
