@@ -126,16 +126,19 @@ def main():
 
     # device-step metric (pack + both-strand pigeon search + readback)
     n_seg, elig = aligner._pigeon_split(reads)
+    prof = aligner._pigeon_profile     # repeat-profile caps if the warmup
+    if prof != "base":                 # batch upshifted (adaptive, r4)
+        aligner._pigeon_raw(reads, n_seg, prof)   # compile outside timing
     t0 = time.time()
     for _ in range(ITERS):
-        res = aligner._pigeon_raw(reads, n_seg)
+        res = aligner._pigeon_raw(reads, n_seg, prof)
         _ = np.asarray(res.pos[:8])
     dev_dt = (time.time() - t0) / ITERS
     from hsa_tpu.search import pigeon as pg
     t0 = time.time()
     for _ in range(ITERS):
         occ, fb, _miss = pg.pigeon_occ_arrays(res, len(reads), opt,
-                                       aligner._PIGEON_CAND_CAP)
+                                       aligner._pigeon_caps(prof)[1])
     fin_dt = (time.time() - t0) / ITERS
 
     prof_dir = os.environ.get("HSA_BENCH_PROFILE")
@@ -214,6 +217,7 @@ def main():
         "mapped_frac": round(mapped, 4),
         "fallback_frac": round(getattr(aligner, "last_fallback_frac", 0.0), 4),
         "trunc_frac": round(getattr(aligner, "last_trunc_frac", 0.0), 4),
+        "pigeon_profile": aligner._pigeon_profile,
         "batch_ms": round(dt * 1e3, 1),
         "batch_ms_min": round(dt_min * 1e3, 1),
         "campaign_means_ms": [round(m * 1e3, 1) for m in rep_means],

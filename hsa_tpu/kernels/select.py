@@ -40,6 +40,12 @@ SENT = np.uint32(0x7FFF0000)     # invalid-key sentinel (NOT 0xffffffff!)
 SCORE_CAP = int(SENT) >> KEY_SH  # scores at/above this are "no hit"
 _SENT_I = np.int32(0x7FFF0000)
 
+# Set True (or env HSA_SELECT_REFERENCE) to route every select through the
+# XLA-sort reference.  AdaptiveBeam flips this after a Mosaic scoped-vmem
+# compile failure (observed flaky at [352, 512] K=32 through the AOT
+# tunnel) and retries — the slower sort beats a failed batch.
+FORCE_REFERENCE = False
+
 
 @functools.lru_cache(maxsize=None)
 def _build_select(C: int, B: int, K: int, n_pay: int, with_window: bool,
@@ -136,7 +142,7 @@ def select_topk(key, payloads, K: int, window=None, drop_accum=None, *,
     """
     C, B = key.shape
     import os
-    if os.environ.get("HSA_SELECT_REFERENCE"):
+    if FORCE_REFERENCE or os.environ.get("HSA_SELECT_REFERENCE"):
         okey, pouts, nd = select_topk_reference(key, payloads, K, window)
         nd = nd.reshape(1, B)
         if drop_accum is not None:

@@ -111,8 +111,20 @@ class AdaptiveBeam:
 
     def __call__(self, fwd, lens, D, md) -> LadderRawResult:
         fwd = jnp.asarray(fwd)
-        return self._ladder_fn(fwd.shape[0])(
-            fwd, jnp.asarray(lens), jnp.asarray(D), jnp.asarray(md))
+        args = (fwd, jnp.asarray(lens), jnp.asarray(D), jnp.asarray(md))
+        from ..kernels import select as _sel
+        try:
+            return self._ladder_fn(fwd.shape[0])(*args)
+        except Exception:
+            if _sel.FORCE_REFERENCE:
+                raise
+            # Mosaic scoped-vmem compile OOM is flaky on some AOT builds
+            # (select.py kernel, 22.7M vs the 16M stack limit at
+            # [352, 512] K=32): rebuild the ladder with the XLA-sort
+            # select and retry once — slower, but the batch completes
+            _sel.FORCE_REFERENCE = True
+            self._jit_cache.clear()
+            return self._ladder_fn(fwd.shape[0])(*args)
 
 
 def primary_ranks(res, n) -> jnp.ndarray:

@@ -153,7 +153,8 @@ def max_gap_run(opt, n_seg: int) -> int:
 
 def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
                       seed_len: int = 32, kmer_k: int = 0,
-                      anchor_tail: int = 6, device_masks: bool = False):
+                      anchor_tail: int = 6, device_masks: bool = False,
+                      seg_phase: bool = False):
     """Host-side packing for the pigeon engine.
 
     reads: list of int8/uint8 code arrays (codes 0..4; 4 = N).
@@ -195,6 +196,9 @@ def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
         raise ValueError(f"pigeon engine handles reads <= {MAX_READ_LEN}bp "
                          f"(got {Lmax}); route longer reads to the beam")
     seg_max = (Lmax + n_seg - 1) // n_seg + 1
+    if seg_phase:
+        # the half-shifted partition's FIRST segment spans 3L/(2n)
+        seg_max = max(seg_max, (3 * Lmax + 2 * n_seg - 1) // (2 * n_seg) + 1)
     SL = max(min(seg_max - K, anchor_tail) if K else seg_max, 1)
     RW = (Lmax + 15) // 16 + 1
 
@@ -220,9 +224,17 @@ def pack_pigeon_batch(reads, n_seg: int = 3, max_len: int | None = None,
     kmer_ok = np.zeros((n_seg, B), dtype=np.uint8)
     seg_short = np.zeros((n_seg, B), dtype=np.uint8)
     pw = (4 ** np.arange(K - 1, -1, -1, dtype=np.int64))[None, :] if K else None
+    def _bound(s):
+        # seg_phase: interior boundaries shift by half a segment (ends
+        # pinned) — an alternate partition for the repeat-retry pass;
+        # pigeonhole completeness holds for ANY partition of the read
+        if seg_phase and 0 < s < n_seg:
+            return lens * (2 * s + 1) // (2 * n_seg)
+        return lens * s // n_seg
+
     for s in range(n_seg):
-        a = lens * s // n_seg
-        b = lens * (s + 1) // n_seg
+        a = _bound(s)
+        b = _bound(s + 1)
         w = b - a
         if K == 0:
             # full-segment anchor: reversed columns b-1-t
@@ -385,7 +397,7 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
                   vmask, seedmask, lens, md, opt, *, n_seg: int = 3,
                   seg_cap: int = 32, cand_cap: int = 32,
                   pool: int | None = None, gpool: int | None = None,
-                  kmer_seed=None) -> PigeonResult:
+                  kmer_seed=None, seg_phase: bool = False) -> PigeonResult:
     """Device pigeonhole search (see module docstring).  Traceable; all
     array arguments must reach the jit as parameters, not closures.
 
@@ -456,7 +468,11 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
     lane_id = jnp.arange(R, dtype=I32) % B
     s_idx = jnp.arange(R, dtype=I32) // B
     Lr = jnp.take(lens, lane_id)
-    a_start = (Lr * s_idx) // n_seg
+    if seg_phase:    # half-shifted partition (pack_pigeon_batch seg_phase)
+        a_start = jnp.where(s_idx > 0,
+                            (Lr * (2 * s_idx + 1)) // (2 * n_seg), 0)
+    else:
+        a_start = (Lr * s_idx) // n_seg
     rem = seg_off - a_start
     # any wide anchor with read bases to its left can narrow: within its
     # own segment (phase 1, completeness-sound) and/or past the segment
@@ -560,6 +576,20 @@ def pigeon_search(idx, text_rows, segs_rev, seg_lens, seg_off, rw, nmask,
         .reshape(n_seg, B).sum(axis=0)
     kk = k.reshape(n_seg, B)
     soff = seg_off.reshape(n_seg, B)
+
+    # 1d. narrowest-first per-read segment order: the narrowest matched
+    # segment has the fewest repeat copies and so carries the most
+    # information per slot — it claims slots first.  Both the CC cap and
+    # the slot-major pool compaction below then spend their budget on the
+    # most specific candidates; in segment-index order a wide leading
+    # repeat segment starves the narrow segment that actually localizes
+    # the read (repeat-genome fallback was dominated by exactly this).
+    cf2 = c_full.reshape(n_seg, B)
+    order = jnp.argsort(jnp.where(cf2 > 0, cf2, jnp.int32(0x7FFFFFFF)),
+                        axis=0).astype(I32)
+    c = jnp.take_along_axis(c, order, axis=0)
+    kk = jnp.take_along_axis(kk, order, axis=0)
+    soff = jnp.take_along_axis(soff, order, axis=0)
 
     # 2. slot assignment (read-major flat [B*CC]: read j's slots contiguous)
     starts = [jnp.zeros(B, I32)]

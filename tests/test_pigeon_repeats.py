@@ -245,3 +245,61 @@ def test_unique_reads_unaffected():
     assert (missed == 0).all()
     for j, p in enumerate(poss):
         assert any(o.pos == p for o in occs[j]), j
+
+
+def test_seg_phase_partition_finds_reads():
+    """Half-shifted partition (the repeat-retry variant): completeness
+    holds for any partition of the read — planted reads are found at
+    their true positions under seg_phase=True."""
+    rs = np.random.RandomState(41)
+    L = 90
+    reads, poss = [], []
+    for _ in range(8):
+        p = rs.randint(45_000, 59_000 - L)
+        r = TEXT[p:p + L].copy()
+        for _ in range(2):
+            q = rs.randint(0, L)
+            r[q] = (r[q] + rs.randint(1, 4)) % 4
+        reads.append(r)
+        poss.append(p)
+    rc = [alphabet.revcomp(r) for r in reads]
+    both = list(reads) + rc
+    batch = pack_pigeon_batch(both, n_seg=3, seed_len=OPT.seed_len,
+                              seg_phase=True)
+    md = np.full(len(both), 2, np.int32)
+    res = pigeon_search(
+        DEV, TEXT_ROWS, jnp.asarray(batch["segs_rev"]),
+        jnp.asarray(batch["seg_lens"]), jnp.asarray(batch["seg_off"]),
+        jnp.asarray(batch["rw"]), jnp.asarray(batch["nmask"]),
+        jnp.asarray(batch["vmask"]), jnp.asarray(batch["seedmask"]),
+        jnp.asarray(batch["lens"]), jnp.asarray(md), OPT, n_seg=3,
+        cand_cap=16, seg_cap=SEG_CAP, seg_phase=True)
+    occs, fb, missed = pigeon_occurrences(res, len(reads), OPT, 16)
+    assert not fb.any()
+    for j, p in enumerate(poss):
+        assert any(o.pos == p for o in occs[j]), j
+
+
+def test_adaptive_repeat_profile_upshift():
+    """A repeat-heavy batch (fallback+trunc > threshold) flips the
+    Aligner to the repeat capacity profile — sticky — and the wider
+    caps eliminate the truncation on the next batch."""
+    from hsa_tpu.pipeline import Aligner
+    di = build_device_index(TEXT, sa_intv=8)
+    al = Aligner.from_arrays(di, TEXT, opt=OPT)
+    al._PIGEON_SEG_CAP = SEG_CAP          # 8: 40-copy family truncates
+    al._PIGEON_REPEAT_CAPS = (64, 160, 64)  # caps AND pool fit 3x40
+    # copies per lane (pool = pm*B2 and this test has only 12 lanes)
+    al._pigeon_jit = {}
+    L = 90
+    reads = [TEXT[c + 30:c + 30 + L].copy() for c in COPIES[:6]]
+    assert al._pigeon_profile == "base"
+    al.align(reads)
+    assert al.last_trunc_frac > 0.10
+    assert al._pigeon_profile == "repeat"   # sticky upshift
+    recs = al.align(reads)                  # now runs the wide caps
+    assert al.last_trunc_frac == 0.0        # 40 copies fit seg_cap=64
+    assert al.last_fallback_frac == 0.0
+    for r in recs:
+        assert not (r.flag & 4)
+        assert r.mapq == 0                  # true multi-mapping, X0=40
