@@ -321,17 +321,24 @@ def _bulk_ungapped_cores(text, meta, jobs, opt):
     t_arr = np.asarray(text)
     Lmax = max(len(r) for _k, r, _q, _o in jobs)
     NJ = len(jobs)
+    # vectorized job prep (the per-job revcomp/asarray loop was ~40% of
+    # paired-end core building at 16K+ jobs/batch)
     rd = np.full((NJ, Lmax), 4, np.uint8)
     pos = np.empty(NJ, np.int64)
     lens = np.empty(NJ, np.int64)
+    strands = np.empty(NJ, bool)
     for i, (_k, r, _q, o) in enumerate(jobs):
-        L = len(r)
-        a = np.asarray(r, np.uint8)
-        if o.strand:
-            a = np.where(a <= 3, 3 - a, a)[::-1].astype(np.uint8)
-        rd[i, :L] = a
+        rd[i, :len(r)] = r
         pos[i] = o.pos
-        lens[i] = L
+        lens[i] = len(r)
+        strands[i] = bool(o.strand)
+    if strands.any():
+        t0 = np.arange(Lmax)
+        cols = np.clip(lens[:, None] - 1 - t0[None, :], 0, Lmax - 1)
+        rc = np.take_along_axis(rd, cols, axis=1)
+        rc = np.where(rc <= 3, 3 - rc, rc).astype(np.uint8)
+        rc[t0[None, :] >= lens[:, None]] = 4
+        rd = np.where(strands[:, None], rc, rd)
     t = np.arange(Lmax)
     win = t_arr[np.minimum(pos[:, None] + t[None, :], n_text - 1)]
     mm = ((rd != win) | (rd > 3)) & (t[None, :] < lens[:, None])
@@ -340,8 +347,14 @@ def _bulk_ungapped_cores(text, meta, jobs, opt):
     chars = _DECODE_LUT[np.minimum(rd, 5)]
     has_amb = bool(meta.amb_runs)
     md_lut = "ACGTN"
+    starts_a = np.asarray(meta.starts, np.int64)
+    si = np.clip(np.searchsorted(starts_a, pos, side="right") - 1,
+                 0, len(starts_a) - 1)
+    off1 = (pos - starts_a[si] + 1).tolist()
+    si_l = si.tolist()
+    lens_l = lens.tolist()
     for i, (key, r, qual, o) in enumerate(jobs):
-        L = int(lens[i])
+        L = lens_l[i]
         mmp = cs[splits[i]:splits[i + 1]]
         parts = []
         prev = 0
@@ -350,15 +363,15 @@ def _bulk_ungapped_cores(text, meta, jobs, opt):
             parts.append(md_lut[min(int(win[i, p]), 4)])
             prev = p + 1
         parts.append(str(L - prev))
-        ri, off = meta.pos_to_ref(o.pos)
         seq = chars[i, :L].tobytes().decode()
         q = (qual[::-1] if (o.strand and qual and qual != "*") else qual) \
             or "*"
         rec = AlnRecord("", 16 if o.strand else 0,
-                        meta.names[ri] if ri >= 0 else "*", off + 1, 0,
+                        meta.names[si_l[i]], off1[i], 0,
                         f"{L}M", seq, q)
         rec.tags.update(NM=len(mmp), MD="".join(parts), XM=o.nmm,
                         XO=0, XG=0)
+        rec.ref_span = L              # skip the CIGAR re-parse in tlen
         if has_amb:
             xn = meta.count_amb(o.pos, L)
             if xn:
@@ -420,6 +433,7 @@ def _bulk_gapped_cores(text, meta, jobs, opt):
                         int(pos[i] - starts_a[ri]) + 1, 0, cigs[i], seq, q)
         rec.tags.update(NM=int(nm[i]), MD=mds[i], XM=o.nmm, XO=o.ngapo,
                         XG=int(gapb[i]))
+        rec.ref_span = int(gln[i])
         if has_amb:
             xn = meta.count_amb(o.pos, int(gln[i]))
             if xn:
@@ -646,8 +660,12 @@ def resolve_pe_from_occurrences(text, meta, reads1, reads2, names, quals1,
             rec.rnext = "=" if same else mate.rname
             rec.pnext = mate.pos
             if same:
-                span_self = _cigar_ref_span(rec.cigar)
-                span_mate = _cigar_ref_span(mate.cigar)
+                span_self = getattr(rec, "ref_span", None)
+                if span_self is None:
+                    span_self = _cigar_ref_span(rec.cigar)
+                span_mate = getattr(mate, "ref_span", None)
+                if span_mate is None:
+                    span_mate = _cigar_ref_span(mate.cigar)
                 left = min(rec.pos, mate.pos)
                 right = max(rec.pos + span_self, mate.pos + span_mate)
                 t = right - left
