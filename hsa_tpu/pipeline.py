@@ -567,7 +567,8 @@ class Aligner:
         bsub = list(bsub) + [bsub[0]] * (tgt - n)
         hf, hr = self.search_batch(bsub, beam_width=beam_width,
                                    max_hits=max_hits,
-                                   ladder=self.ladder[-1:])
+                                   ladder=self.ladder[-1:] if self.ladder
+                                   else None)
         sub_occs, sub_trunc = collect_occurrences(hf, hr, self.locate_fn)
         sld, shd = self.last_overflow
         half = len(bsub)
@@ -812,7 +813,8 @@ class Aligner:
             # widest rung directly — same reasoning as the SE fallback
             hf, hr = self.search_batch(sub, beam_width=beam_width,
                                        max_hits=max_hits,
-                                       ladder=self.ladder[-1:])
+                                       ladder=self.ladder[-1:]
+                                       if self.ladder else None)
             sub_occs, sub_trunc = collect_occurrences(hf, hr, self.locate_fn)
             for i, j in enumerate(fb_ids):
                 (occs1 if j < B else occs2)[j % B] = sub_occs[i]

@@ -303,3 +303,48 @@ def test_adaptive_repeat_profile_upshift():
     for r in recs:
         assert not (r.flag & 4)
         assert r.mapq == 0                  # true multi-mapping, X0=40
+
+
+def test_align_stream_grouped_fallback_matches_align():
+    """align_stream with cross-batch fallback pooling yields the SAME
+    records, in input order, as per-batch Aligner.align — including
+    batches that stage because they carry fallback reads (here: long
+    reads over MAX_READ_LEN that route to the beam per-read)."""
+    from hsa_tpu.pipeline import Aligner
+    from hsa_tpu.search.pigeon import MAX_READ_LEN
+    rs = np.random.RandomState(53)
+    di = build_device_index(TEXT, sa_intv=8)
+    al = Aligner.from_arrays(di, TEXT, opt=OPT)
+    al._PIGEON_SEG_CAP = SEG_CAP
+    al._PIGEON_REPEAT_THRESH = 10.0   # pin the capacity profile: the
+    # adaptive upshift lands after different batch counts in the two
+    # flows, which legitimately changes truncation on repeat reads
+
+    def mk_batch(seed):
+        r2 = np.random.RandomState(seed)
+        out = []
+        for i in range(6):
+            if i == 2:      # beam-routed read (too long for the engine)
+                L = MAX_READ_LEN + 20
+            else:
+                L = 80
+            p = r2.randint(0, len(TEXT) - L)
+            r = TEXT[p:p + L].copy()
+            q = r2.randint(0, L)
+            r[q] = (r[q] + 1) % 4
+            out.append(r)
+        return out
+
+    batches = [mk_batch(s) for s in (1, 2, 3)]
+
+    # reference: per-batch align (immediate per-batch beam re-run)
+    ref = [al.align(b, read_offset=100 * i) for i, b in enumerate(batches)]
+
+    def gen():
+        for i, b in enumerate(batches):
+            yield 100 * i, None, b, None
+
+    got = list(al.align_stream(gen(), fb_group=3, fb_flush=1000))
+    assert [s for s, _ in got] == [0, 100, 200]   # input order
+    for (s, recs), rrecs in zip(got, ref):
+        assert [r.to_sam() for r in recs] == [r.to_sam() for r in rrecs], s
