@@ -39,7 +39,11 @@ import numpy as np
 GENOME_MBP = int(os.environ.get("HSA_BENCH_GENOME_MBP", "64"))
 GENOME_MODEL = os.environ.get("HSA_BENCH_GENOME_MODEL", "iid")
 SA_INTV = int(os.environ.get("HSA_BENCH_SA_INTV", "8"))
-BATCH = int(os.environ.get("HSA_BENCH_BATCH", "32768"))
+# B=16K beats 32K end-to-end (60.9K vs 46.2K reads/s median, round-4
+# sweep): shorter device steps interleave better with host resolve in
+# the depth-2 pipeline.  64K is ~linear too (the round-3 "3.1x
+# superlinearity" was compile-in-loop contamination, TPU_NOTES v4).
+BATCH = int(os.environ.get("HSA_BENCH_BATCH", "16384"))
 READ_LEN = int(os.environ.get("HSA_BENCH_READ_LEN", "100"))
 LADDER = tuple(int(x) for x in
                os.environ.get("HSA_BENCH_LADDER", "8,64").split(",") if x)
