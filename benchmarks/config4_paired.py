@@ -18,7 +18,9 @@ import numpy as np
 from common import cached_index, report, setup_jax
 
 N = int(os.environ.get("HSA_BENCH_C4_MBP", "250")) * 1_000_000
-B = int(os.environ.get("HSA_BENCH_PAIRS", "8192"))  # pairs
+# 4096-pair batches beat 8192/16384 e2e (13.1K vs 9.5K/8.6K pairs/s,
+# round-4 sweep): same pipeline-granularity effect as the SE headline
+B = int(os.environ.get("HSA_BENCH_PAIRS", "4096"))  # pairs
 L = 150
 ITERS = int(os.environ.get("HSA_BENCH_ITERS", "3"))
 
