@@ -15,7 +15,8 @@ import numpy as np
 from common import cached_index, report, sample_reads, setup_jax
 
 N = int(os.environ.get("HSA_BENCH_C3_BP", "46700000"))
-B = int(os.environ.get("HSA_BENCH_BATCH", "16384"))
+# 8K batches edge out 16K e2e (48.8K vs 45.7K reads/s, round-4 sweep)
+B = int(os.environ.get("HSA_BENCH_BATCH", "8192"))
 L = 100
 ITERS = int(os.environ.get("HSA_BENCH_ITERS", "4"))
 
