@@ -348,3 +348,95 @@ def test_align_stream_grouped_fallback_matches_align():
     assert [s for s, _ in got] == [0, 100, 200]   # input order
     for (s, recs), rrecs in zip(got, ref):
         assert [r.to_sam() for r in recs] == [r.to_sam() for r in rrecs], s
+
+
+def build_divergent_family(seed=9, n=60_000, unit_len=300, copies=40,
+                           div=0.04):
+    """iid background + one DIVERGED repeat family: copies carry ~div
+    per-base differences from the consensus, so a read from copy X
+    verifies ONLY at X under a 2-diff budget — the capped anchor
+    enumeration can miss X entirely (truncated, no verified candidate)."""
+    rs = np.random.RandomState(seed)
+    g = rs.randint(0, 4, n).astype(np.int8)
+    unit = rs.randint(0, 4, unit_len).astype(np.int8)
+    starts = []
+    step = (n // 2) // (copies + 2)
+    for i in range(copies):
+        u = unit.copy()
+        m = rs.rand(unit_len) < div
+        u[m] = (u[m] + rs.randint(1, 4, int(m.sum()))) % 4
+        p = (i + 1) * step
+        g[p:p + unit_len] = u
+        starts.append(p)
+    return g, np.asarray(starts)
+
+
+def test_seg_phase_retry_absorbs_capacity_fallbacks():
+    """Round-5 escalation order: a read whose pass-1 enumeration was
+    capacity-truncated with no verified candidate re-runs on the
+    half-shifted partition at wide caps (one small pigeon pass) instead
+    of the beam; the retry finds the true locus and the read never
+    falls back."""
+    from hsa_tpu.pipeline import Aligner
+    text, starts = build_divergent_family()
+    di = build_device_index(text, sa_intv=8)
+    al = Aligner.from_arrays(di, text, opt=OPT)
+    al._PIGEON_SEG_CAP = 4           # tiny caps force pass-1 misses
+    al._PIGEON_CAND_CAP = 8
+    al._PIGEON_REPEAT_THRESH = 10.0  # pin base profile (isolate retry)
+    L = 90
+    rs = np.random.RandomState(17)
+    reads, poss = [], []
+    for c in starts[:8]:
+        p = int(c) + 40
+        r = text[p:p + L].copy()
+        for _ in range(2):
+            q = rs.randint(0, L)
+            r[q] = (r[q] + rs.randint(1, 4)) % 4
+        reads.append(r)
+        poss.append(p)
+    recs = al.align(reads)
+    assert al.last_retry_frac > 0.0          # the retry pass actually ran
+    assert al.last_fallback_frac == 0.0      # and absorbed every miss
+    for j, p in enumerate(poss):
+        rec = recs[j]
+        assert not (rec.flag & 4), j
+        # true locus found (1-based SAM pos on the single sequence)
+        assert rec.pos == p + 1, (j, rec.pos, p + 1)
+
+    # retry OFF: same reads still resolve (beam fallback), same positions
+    al2 = Aligner.from_arrays(di, text, opt=OPT)
+    al2._PIGEON_SEG_CAP = 4
+    al2._PIGEON_CAND_CAP = 8
+    al2._PIGEON_REPEAT_THRESH = 10.0
+    al2._PIGEON_RETRY = False
+    recs2 = al2.align(reads)
+    assert al2.last_fallback_frac > 0.0
+    for r1, r2 in zip(recs, recs2):
+        assert (r1.pos, r1.flag & 16) == (r2.pos, r2.flag & 16)
+
+
+def test_repeat_profile_downshift_hysteresis():
+    """Round-5 hysteresis: after the sticky upshift, N consecutive
+    clean batches (load < threshold/2) downshift back to base caps."""
+    from hsa_tpu.pipeline import Aligner
+    di = build_device_index(TEXT, sa_intv=8)
+    al = Aligner.from_arrays(di, TEXT, opt=OPT)
+    al._PIGEON_SEG_CAP = SEG_CAP
+    al._PIGEON_REPEAT_CAPS = (64, 160, 64)
+    al._PIGEON_DOWNSHIFT_N = 2
+    L = 90
+    repeat_reads = [TEXT[c + 30:c + 30 + L].copy() for c in COPIES[:6]]
+    rs = np.random.RandomState(23)
+    clean_reads = []
+    for _ in range(6):
+        p = rs.randint(35_000, 59_000 - L)
+        clean_reads.append(TEXT[p:p + L].copy())
+    al.align(repeat_reads)
+    assert al._pigeon_profile == "repeat"
+    al.align(clean_reads)
+    assert al._pigeon_profile == "repeat"    # 1 clean batch: not yet
+    al.align(clean_reads)
+    assert al._pigeon_profile == "base"      # 2nd clean batch: downshift
+    al.align(repeat_reads)                   # re-upshift still works
+    assert al._pigeon_profile == "repeat"
