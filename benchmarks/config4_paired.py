@@ -60,9 +60,14 @@ def main():
         for it in range(ITERS):
             yield it * B, None, reads1, None, reads2, None
 
+    # settle pass: compile any steady-state shape the stream uses
+    for _s, _lf in al.align_pe_stream(
+            ((0, None, reads1, None, reads2, None),), emit="sam"):
+        pass
+
     t0 = time.time()
-    for _s, recs in al.align_pe_stream(batches()):
-        sam = "\n".join(r.to_sam() for r in recs)
+    for _s, (lines, flags) in al.align_pe_stream(batches(), emit="sam"):
+        sam = "\n".join(lines)
         assert sam
     dt = (time.time() - t0) / ITERS
     report("paired_pairs_per_s", B / dt, "pairs/s",

@@ -476,8 +476,7 @@ def cmd_sampe(argv):
     from .pipeline import Aligner
     from .io.sam import sam_header
     from .config import PEOpt
-    from .resolve.sampe import resolve_pe_from_occurrences
-    from .search.pigeon import occ_arrays_to_lists
+    from .resolve.sampe import resolve_pe_from_occ_arrays
     from .metrics import RunMetrics
     met = RunMetrics()
     # both .sai files carry the aln-time options; they must agree (the
@@ -514,16 +513,23 @@ def cmd_sampe(argv):
             met.count("reads_in", 2 * len(r1))
             continue
         with met.timer("resolve"):
-            occs1 = occ_arrays_to_lists(occ1, len(r1))
-            occs2 = occ_arrays_to_lists(occ2, len(r2))
-            recs = resolve_pe_from_occurrences(
-                al.text, al.meta, r1, r2, n1, q1, q2, occs1, occs2, opt,
-                peopt, read_offset=s, trunc1=tr1.tolist(),
-                trunc2=tr2.tolist(), c2x1=cx1, c2x2=cx2)
-        for r in recs:
-            out.write(r.to_sam() + "\n")
+            # ONE flat occ dict over both ends (end 2 rids shifted by B):
+            # the two .sai blocks are each rid-sorted, so concatenation
+            # is already in canonical (rid, score, strand, pos) order
+            B = len(r1)
+            occ = {k: np.concatenate([occ1[k],
+                                      occ2[k] + B if k == "rid"
+                                      else occ2[k]])
+                   for k in occ1}
+            lines, _flags = resolve_pe_from_occ_arrays(
+                al.text, al.meta, r1, r2, n1, q1, q2, occ, opt, peopt,
+                read_offset=s,
+                trunc=np.concatenate([tr1, tr2]).astype(bool),
+                c2x=np.concatenate([cx1, cx2]), emit="sam")
+        out.write("\n".join(lines))
+        out.write("\n")
         met.count("reads_in", 2 * len(r1))
-        met.count("records_out", len(recs))
+        met.count("records_out", len(lines))
         _save_manifest(a.out, args_key, n, -1)
     out.flush()
     print(f"[hsa-tpu sampe] {n} pairs", file=sys.stderr)
@@ -584,21 +590,20 @@ def cmd_align_pe(argv):
                 yield s, n1, r1, q1, r2, q2
 
     stream = iter(al.align_pe_stream(todo(), beam_width=a.beam_width,
-                                     peopt=peopt))
+                                     peopt=peopt, emit="sam"))
     while True:
         with met.timer("align"):   # wall per batch incl. overlap wait
             item = next(stream, None)
         if item is None:
             break
-        s, recs = item
-        total = s + len(recs) // 2
-        met.count("reads_in", len(recs))
-        met.count("records_out", len(recs))
-        met.count("reads_mapped",
-                  sum(1 for r in recs if not (r.flag & 4)))
+        s, (lines, flags) = item
+        total = s + len(lines) // 2
+        met.count("reads_in", len(lines))
+        met.count("records_out", len(lines))
+        met.count("reads_mapped", sum(1 for f in flags if not (f & 4)))
         with met.timer("write"):
-            for r in recs:
-                out.write(r.to_sam() + "\n")
+            out.write("\n".join(lines))
+            out.write("\n")
             out.flush()
         _save_manifest(a.out, args_key, total, -1)
         met.log(f"align-pe {total} pairs")

@@ -800,8 +800,11 @@ class Aligner:
             o = 0
             for s, bn, bq, rb, occ, trunc, c2x, fb_ids, st in staged:
                 B = len(rb)
-                ld = np.zeros(B, np.int32)
-                hd = np.zeros(B, np.int32)
+                # start from the device search's own counters (beam-
+                # routed batches carry real drops — ADVICE r4) and let
+                # the pooled re-run overwrite its fallback reads
+                ld, hd = (np.asarray(st[3][0], np.int32).copy(),
+                          np.asarray(st[3][1], np.int32).copy())
                 if fb_ids:
                     k = len(fb_ids)
                     occ, trunc = self._merge_fb_batch(
@@ -809,7 +812,7 @@ class Aligner:
                         sub_trunc[o:o + k], sld[o:o + k], shd[o:o + k])
                     o += k
                 (self.last_fallback_frac, self.last_ineligible_frac,
-                 self.last_trunc_frac) = st
+                 self.last_trunc_frac) = st[:3]
                 self.last_overflow = (ld, hd)
                 yield s, self._resolve_occ(rb, bn, bq, occ, trunc, c2x,
                                            read_offset=s, sopt=sopt,
@@ -842,7 +845,8 @@ class Aligner:
                                fb_ids,
                                (self.last_fallback_frac,
                                 self.last_ineligible_frac,
-                                self.last_trunc_frac)))
+                                self.last_trunc_frac,
+                                self.last_overflow)))
                 fb_pending += len(fb_ids)
                 if (fb_pending == 0 or fb_pending >= fb_flush
                         or len(staged) >= fb_group):

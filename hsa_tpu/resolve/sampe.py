@@ -348,8 +348,14 @@ def _bulk_ungapped_cores(text, meta, jobs, opt):
     has_amb = bool(meta.amb_runs)
     md_lut = "ACGTN"
     starts_a = np.asarray(meta.starts, np.int64)
-    si = np.clip(np.searchsorted(starts_a, pos, side="right") - 1,
-                 0, len(starts_a) - 1)
+    si = np.searchsorted(starts_a, pos, side="right") - 1
+    # callers span-filter occurrences (samse._span_possible), so every
+    # position maps inside a sequence; assert rather than silently
+    # assigning the nearest name (ADVICE r4)
+    assert si.min(initial=0) >= 0 and (
+        pos - starts_a[np.maximum(si, 0)]
+        < np.asarray(meta.lengths, np.int64)[np.maximum(si, 0)]).all(), \
+        "unfiltered out-of-range occurrence reached record building"
     off1 = (pos - starts_a[si] + 1).tolist()
     si_l = si.tolist()
     lens_l = lens.tolist()
@@ -1106,7 +1112,8 @@ def resolve_pe_from_occ_arrays(text, meta, reads1, reads2, names, quals1,
     # ---- pick record cores: ungapped via window gather, gapped batched ---
     p_pos_e = np.where(pick_ent >= 0, pos[np.maximum(pick_ent, 0)], 0) \
         if NO else np.zeros(N, np.int64)
-    p_str_e = np.where(pick_ent >= 0, strand[np.maximum(pick_ent, 0)], 0) \
+    p_str_e = np.where(pick_ent >= 0,
+                       strand.astype(np.int64)[np.maximum(pick_ent, 0)], 0) \
         if NO else np.zeros(N, np.int64)
     p_go_e = np.where(pick_ent >= 0, ngapo[np.maximum(pick_ent, 0)], 0) \
         if NO else np.zeros(N, np.int64)
@@ -1372,20 +1379,16 @@ def resolve_pe_from_occ_arrays(text, meta, reads1, reads2, names, quals1,
                 xo = p_go_l[e]
                 xn = meta.count_amb(int(p_pos_e[e]), span) if has_amb else 0
             c1v = c1_l[e]
-            tags = [f"XT:Z:{'U' if c1v == 1 else 'R'}", f"X0:i:{c1v}"]
-            if not trunc_l[e]:
-                tags.append(f"X1:i:{c2_l[e]}")
-            if xn:
-                tags.append(f"XN:i:{xn}")
-            tags.append(f"XM:i:{p_nmm_l[e]}")
-            tags.append(f"XO:i:{xo}")
-            tags.append(f"XG:i:{xg}")
-            tags.append(f"NM:i:{nmv}")
-            tags.append(f"MD:Z:{mdstr}")
-            if xa:
-                tags.append(f"XA:Z:{xa}")
+            # common case pre-joined (tag order = AlnRecord.to_sam):
+            # one string instead of a tag list per record
+            ts = (f"XT:Z:{'U' if c1v == 1 else 'R'}\tX0:i:{c1v}"
+                  + (f"\tX1:i:{c2_l[e]}" if not trunc_l[e] else "")
+                  + (f"\tXN:i:{xn}" if xn else "")
+                  + f"\tXM:i:{p_nmm_l[e]}\tXO:i:{xo}\tXG:i:{xg}"
+                  + f"\tNM:i:{nmv}\tMD:Z:{mdstr}"
+                  + (f"\tXA:Z:{xa}" if xa else ""))
             pair_fields.append([flag, rname_l[e], off1_l[e], mapq, cig,
-                                seq, q or "*", tags, span, True])
+                                seq, q or "*", ts, span, True])
 
         # mate fields from the actual reference spans
         f1, f2 = pair_fields
@@ -1431,8 +1434,7 @@ def resolve_pe_from_occ_arrays(text, meta, reads1, reads2, names, quals1,
                 else:
                     records.append(
                         f"{name}\t{flag}\t{rname}\t{pos1}\t{mapq}\t{cig}"
-                        f"\t{rn}\t{pn}\t{tlen}\t{seq}\t{q}\t"
-                        + "\t".join(tags))
+                        f"\t{rn}\t{pn}\t{tlen}\t{seq}\t{q}\t" + tags)
                 flags_out.append(flag)
             else:
                 if isinstance(tags, AlnRecord):
@@ -1445,7 +1447,7 @@ def resolve_pe_from_occ_arrays(text, meta, reads1, reads2, names, quals1,
                     rec = AlnRecord(name, flag, rname, pos1, mapq, cig,
                                     seq, q)
                     rec.rnext, rec.pnext, rec.tlen = rn, pn, tlen
-                    for tg in tags:
+                    for tg in tags.split("\t"):
                         k2, ty, v = tg.split(":", 2)
                         rec.tags[k2] = int(v) if ty == "i" else v
                 records.append(rec)

@@ -115,13 +115,22 @@ class AdaptiveBeam:
         from ..kernels import select as _sel
         try:
             return self._ladder_fn(fwd.shape[0])(*args)
-        except Exception:
-            if _sel.FORCE_REFERENCE:
-                raise
+        except Exception as e:
             # Mosaic scoped-vmem compile OOM is flaky on some AOT builds
             # (select.py kernel, 22.7M vs the 16M stack limit at
             # [352, 512] K=32): rebuild the ladder with the XLA-sort
-            # select and retry once — slower, but the batch completes
+            # select and retry once — slower, but the batch completes.
+            # The catch is NARROW (ADVICE r4): only that compile failure
+            # flips the fallback; anything else propagates.
+            msg = f"{type(e).__name__}: {e}"
+            vmem_oom = ("RESOURCE_EXHAUSTED" in msg or "vmem" in msg.lower()
+                        or "Mosaic" in msg or "scoped" in msg.lower())
+            if _sel.FORCE_REFERENCE or not vmem_oom:
+                raise
+            import logging
+            logging.getLogger("hsa_tpu").warning(
+                "select kernel compile failed (%s); falling back to the "
+                "XLA-sort select for the rest of the process", msg[:200])
             _sel.FORCE_REFERENCE = True
             self._jit_cache.clear()
             return self._ladder_fn(fwd.shape[0])(*args)

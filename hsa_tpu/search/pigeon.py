@@ -306,6 +306,17 @@ def pack_pigeon_upload(batch, md):
     segs = batch["segs_rev"]
     R, SL = segs.shape
     B2, RW = batch["rw"].shape
+    # bit-field range checks (ADVICE r4): silent overflow here would
+    # produce wrong alignments with no error — kmer gets 24 bits (K=12
+    # fits exactly; K>=13 would corrupt), the 16-bit fields cover reads
+    # <= MAX_READ_LEN with huge margin but guard against future edits
+    if "kmer" in batch:
+        assert batch["kmer"].max(initial=0) < (1 << 24), \
+            "kmer index overflows its 24-bit upload field (K too large)"
+    assert batch["seg_lens"].max(initial=0) < (1 << 16)
+    assert batch["seg_off"].max(initial=0) < (1 << 16)
+    assert batch["lens"].max(initial=0) < (1 << 16)
+    assert np.asarray(md).max(initial=0) < (1 << 16)
     S4 = (SL + 3) // 4
     segs4 = np.zeros((R, S4), np.uint32)
     sr = segs.astype(np.uint32)

@@ -73,3 +73,47 @@ def test_batcher_malformed(tmp_path):
     path.write_text("not a fastq\n")
     with pytest.raises(Exception):
         list(FastqBatcher(str(path), batch=4))
+
+
+def test_batcher_gzip_streaming_bounded_window(tmp_path):
+    """Round 5: .gz input streams through a rolling window — full record
+    parity with the plain reader AND the decompressed window stays
+    O(batch) (the old fallback decompressed the WHOLE file to memory)."""
+    plain = tmp_path / "big.fq"
+    recs = write_fastq(plain, n=4000, varlen=False)
+    gz = tmp_path / "big.fq.gz"
+    with open(plain, "rb") as src, gzip.open(gz, "wb") as dst:
+        dst.write(src.read())
+    b = FastqBatcher(str(gz), batch=64, max_len=128)
+    window_cap = b._gz_target + (1 << 20) * 4   # target + chunk slack
+    got = []
+    max_window = 0
+    for names, codes, lens, quals in b:
+        max_window = max(max_window, len(b._buf))
+        for j in range(len(names)):
+            got.append((names[j], alphabet.decode(codes[j, :lens[j]]),
+                        quals[j]))
+    assert [g[0] for g in got] == [r[0] for r in recs]
+    assert [g[1] for g in got] == [r[1] for r in recs]
+    assert [g[2] for g in got] == [r[2] for r in recs]
+    # bounded RSS proxy: the rolling window never approached file size
+    file_bytes = plain.stat().st_size
+    assert max_window < min(window_cap, file_bytes)
+    assert max_window < file_bytes / 2
+
+
+def test_batcher_gzip_multimember(tmp_path):
+    """Catted .gz members (bgzf-style) parse seamlessly across the
+    member boundary."""
+    p1 = tmp_path / "a.fq"
+    p2 = tmp_path / "b.fq"
+    r1 = write_fastq(p1, n=7, seed=1)
+    r2 = write_fastq(p2, n=9, seed=2)
+    gz = tmp_path / "cat.fq.gz"
+    with open(gz, "wb") as dst:
+        for p in (p1, p2):
+            dst.write(gzip.compress(p.read_bytes()))
+    got = [n for names, _c, _l, _q in FastqBatcher(str(gz), batch=5,
+                                                   max_len=128)
+           for n in names]
+    assert got == [r[0] for r in r1] + [r[0] for r in r2]

@@ -132,3 +132,71 @@ def test_native_banded_global_matches_numpy():
         b = refpack.banded_global(read, ref, 3, 11, 4, band)
         assert a[0] == b[0] and a[2] == b[2], (trial, a, b)
         assert list(a[1]) == list(b[1]), (trial, a[1], b[1])
+
+
+def test_banded_batch_fuzz_vs_python_twin():
+    """Direct fuzz of rp_banded_batch vs banded_global + cigar_stats
+    (ADVICE r4): CIGAR/MD/NM/glen/gap-bases identical, including an
+    n > 512 case that exercises the 8-thread path."""
+    from hsa_tpu import refpack
+    from hsa_tpu.resolve.cigar import banded_global, cigar_stats, cigar_string
+    if refpack._load() is None or not hasattr(refpack._load(),
+                                              "rp_banded_batch"):
+        import pytest
+        pytest.skip("native librefpack not available")
+    rs = np.random.RandomState(91)
+    text = rs.randint(0, 4, 20000).astype(np.int8)
+    for n_jobs in (37, 700):          # single-thread and threaded paths
+        Lmax = 72
+        reads = np.zeros((n_jobs, Lmax), np.uint8)
+        r_off = np.arange(n_jobs, dtype=np.int64) * Lmax
+        r_len = np.zeros(n_jobs, np.int32)
+        g_off = np.zeros(n_jobs, np.int64)
+        g_len = np.zeros(n_jobs, np.int32)
+        bands = np.zeros(n_jobs, np.int32)
+        for i in range(n_jobs):
+            L = int(rs.randint(40, Lmax + 1))
+            p = int(rs.randint(0, len(text) - L - 8))
+            w = text[p:p + L].copy()
+            # plant mismatches and a 0-2bp indel
+            for _ in range(rs.randint(0, 3)):
+                q = rs.randint(0, L)
+                w[q] = (w[q] + rs.randint(1, 4)) % 4
+            g = int(rs.randint(0, 3))
+            if g and L - 2 * g > 10:
+                if rs.rand() < 0.5:       # deletion from the read
+                    w2 = np.delete(text[p:p + L + g].copy(),
+                                   slice(L // 2, L // 2 + g))
+                    rd = w2[:L - g] if len(w2) >= L - g else w2
+                    L = len(rd)
+                else:                     # insertion into the read
+                    ins = rs.randint(0, 4, g).astype(np.int8)
+                    rd = np.concatenate([w[:L // 2], ins, w[L // 2:]])[:L]
+                glen_w = L + g
+            else:
+                rd = w
+                glen_w = L
+                g = 0
+            glen_w = min(glen_w, len(text) - p)
+            reads[i, :len(rd)] = rd
+            r_len[i] = len(rd)
+            g_off[i] = p
+            g_len[i] = glen_w
+            bands[i] = g + 1
+        out = refpack.banded_batch(reads, r_off, r_len, text, g_off,
+                                   g_len, 3, 11, 4, bands)
+        assert out is not None
+        cigs, mds, nm, glen, gapb = out
+        # spot-check ALL jobs of the small case, a sample of the big one
+        check = range(n_jobs) if n_jobs < 100 else rs.choice(
+            n_jobs, 60, replace=False)
+        for i in check:
+            rd = reads[i, :r_len[i]].astype(np.int8)
+            rf = text[g_off[i]:g_off[i] + g_len[i]]
+            _, cg, je = banded_global(rd, rf, 3, 11, 4, band=int(bands[i]))
+            nm2, md2 = cigar_stats(cg, rd, rf)
+            assert cigs[i] == cigar_string(cg), i
+            assert mds[i] == md2, i
+            assert nm[i] == nm2, i
+            assert glen[i] == je, i
+            assert gapb[i] == sum(ln for op, ln in cg if op in "ID"), i
