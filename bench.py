@@ -96,6 +96,58 @@ def make_reads(text, n_genome):
     return ReadBatch(mat, np.full(BATCH, READ_LEN, np.int32))
 
 
+def _secondary_row(model: str, mbp: int, opt, allow_build: bool,
+                   iters: int | None = None):
+    """One-campaign e2e reads/s on a secondary (north-star) config.
+
+    Uses the cached index only (unless ``allow_build`` and the genome is
+    small); returns None when unavailable — the driver JSON then shows
+    the row as null rather than hiding it.
+    """
+    import gc
+    import time as _t
+    from hsa_tpu.index.layout import DeviceIndex, build_device_index
+    from hsa_tpu.pipeline import Aligner
+    gc.collect()
+    tag = "" if model == "iid" else f"_{model}"
+    idx_path = os.path.join(CACHE, f"idx_{mbp}M{tag}_v4b_s{SA_INTV}.npz")
+    txt_path = os.path.join(CACHE, f"txt_{mbp}M{tag}.npy")
+    if not (os.path.exists(idx_path) and os.path.exists(txt_path)):
+        if not (allow_build and mbp <= 64):
+            return None
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        from common import synth_genome
+        t = synth_genome(mbp * 1_000_000, model)
+        di = build_device_index(t, sa_intv=SA_INTV, with_reverse=True)
+        di.save(idx_path)
+        np.save(txt_path, t)
+    try:
+        di = DeviceIndex.load(idx_path)
+        text = np.asarray(np.load(txt_path, mmap_mode="r"), np.int8)
+    except (ValueError, MemoryError):
+        return None
+    kdir = os.path.join(CACHE, f"idxdir_{mbp}M{tag}_s{SA_INTV}")
+    os.makedirs(kdir, exist_ok=True)
+    al = Aligner.from_arrays(di, text, opt=opt, ladder=list(LADDER),
+                             engine=ENGINE, index_dir=kdir)
+    reads = make_reads(text, di.n)
+    al.align(reads, read_offset=0)          # warm/compile
+    for _ in al.align_stream(                # settle profile + shapes
+            ((i * BATCH, None, reads, None) for i in range(2)), emit="sam"):
+        pass
+    it = iters or ITERS
+    ts = [_t.time()]
+    for _s, _lf in al.align_stream(
+            ((i * BATCH, None, reads, None) for i in range(it)),
+            emit="sam"):
+        ts.append(_t.time())
+    dt = float(np.diff(ts).mean())
+    del al, di, text, reads
+    gc.collect()
+    return round(BATCH / dt, 1)
+
+
 def main():
     import jax
 
@@ -215,6 +267,28 @@ def main():
     occ_dt = (time.time() - t0) / 32
     occ_qps = Q / occ_dt
 
+    # ---- secondary rows: the north-star configs (VERDICT r4 weak #3) ----
+    # the headline genome is 64 Mbp i.i.d.; the metric names the HUMAN
+    # reference, and the only genome model that behaves like real input
+    # is the repeats model — so the driver-visible JSON carries one-
+    # campaign rows for both (cached indexes only; a missing 3.1 Gbp
+    # cache SKIPS the row rather than triggering a 72-min rebuild).
+    fallback_frac = round(getattr(aligner, "last_fallback_frac", 0.0), 4)
+    trunc_frac = round(getattr(aligner, "last_trunc_frac", 0.0), 4)
+    retry_frac = round(getattr(aligner, "last_retry_frac", 0.0), 4)
+    pigeon_profile = aligner._pigeon_profile
+    extras = {}
+    if (GENOME_MODEL == "iid" and GENOME_MBP == 64
+            and os.environ.get("HSA_BENCH_SECONDARY", "1") != "0"):
+        del aligner, reads
+        # 12 iterations: repeat-dense streams pool their escalations
+        # (seg_phase retry + widest-rung beam) across ~12-16 batches, so
+        # short campaigns overstate the per-batch flush share
+        extras["repeats_reads_s"] = _secondary_row(
+            "repeats", 64, opt, allow_build=True, iters=12)
+        extras["human_scale_reads_s"] = _secondary_row(
+            "iid", 3100, opt, allow_build=False)
+
     reads_per_s = BATCH / dt
     print(json.dumps({
         "metric": "reads_per_s_e2e_2strand_k2_100bp",
@@ -229,9 +303,10 @@ def main():
         "engine": ENGINE,
         "ladder": list(LADDER),
         "mapped_frac": round(mapped, 4),
-        "fallback_frac": round(getattr(aligner, "last_fallback_frac", 0.0), 4),
-        "trunc_frac": round(getattr(aligner, "last_trunc_frac", 0.0), 4),
-        "pigeon_profile": aligner._pigeon_profile,
+        "fallback_frac": fallback_frac,
+        "trunc_frac": trunc_frac,
+        "retry_frac": retry_frac,
+        "pigeon_profile": pigeon_profile,
         "batch_ms": round(dt * 1e3, 1),
         "batch_ms_min": round(dt_min * 1e3, 1),
         "campaign_means_ms": [round(m * 1e3, 1) for m in rep_means],
@@ -243,6 +318,7 @@ def main():
         "compile_s": round(compile_s, 1),
         "index_load_s": round(index_load_s, 1),
         "device": str(jax.devices()[0]),
+        **extras,
     }))
 
 

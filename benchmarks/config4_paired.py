@@ -22,7 +22,10 @@ N = int(os.environ.get("HSA_BENCH_C4_MBP", "250")) * 1_000_000
 # round-4 sweep): same pipeline-granularity effect as the SE headline
 B = int(os.environ.get("HSA_BENCH_PAIRS", "4096"))  # pairs
 L = 150
-ITERS = int(os.environ.get("HSA_BENCH_ITERS", "3"))
+# 6 iters/campaign: the depth-2 pipeline needs a few batches to amortize
+# its fill; 3 iters understated steady-state by ~35% (round-5 sweep)
+ITERS = int(os.environ.get("HSA_BENCH_ITERS", "6"))
+REPS = int(os.environ.get("HSA_BENCH_REPS", "3"))
 
 
 def main():
@@ -31,7 +34,17 @@ def main():
     from hsa_tpu.config import AlnOpt
     from hsa_tpu.pipeline import Aligner
 
-    di, text = cached_index(f"human_{N // 1_000_000}M", N)
+    if N >= 1_000_000_000:
+        # whole-human scale: reuse bench.py's 3.1 Gbp sa_intv=8 cache
+        # (same synth_genome seed) instead of a second 72-min build
+        from hsa_tpu.index.layout import DeviceIndex
+        cache = os.path.expanduser("~/.cache/hsa_tpu_bench")
+        di = DeviceIndex.load(os.path.join(
+            cache, f"idx_{N // 1_000_000}M_v4b_s8.npz"))
+        text = np.load(os.path.join(cache, f"txt_{N // 1_000_000}M.npy"),
+                       mmap_mode="r")
+    else:
+        di, text = cached_index(f"human_{N // 1_000_000}M", N)
     text = np.asarray(text, np.int8)
     opt = AlnOpt(max_diff=2)
     kdir = os.path.join(os.path.expanduser("~/.cache/hsa_tpu_bench"),
@@ -65,11 +78,14 @@ def main():
             ((0, None, reads1, None, reads2, None),), emit="sam"):
         pass
 
-    t0 = time.time()
-    for _s, (lines, flags) in al.align_pe_stream(batches(), emit="sam"):
-        sam = "\n".join(lines)
-        assert sam
-    dt = (time.time() - t0) / ITERS
+    rep_means = []
+    for _rep in range(REPS):
+        t0 = time.time()
+        for _s, (lines, flags) in al.align_pe_stream(batches(), emit="sam"):
+            sam = "\n".join(lines)
+            assert sam
+        rep_means.append((time.time() - t0) / ITERS)
+    dt = float(np.median(rep_means))   # median campaign (round-4 contract)
     report("paired_pairs_per_s", B / dt, "pairs/s",
            genome_mbp=N // 1_000_000, pairs=B, read_len=L,
            engine="pigeon+gapped",
@@ -77,7 +93,8 @@ def main():
            mapped_end_frac=round(mapped, 4),
            proper_frac=round(proper, 4),
            fallback_frac=round(getattr(al, "last_fallback_frac", 0.0), 4),
-           batch_ms=round(dt * 1e3, 1))
+           batch_ms=round(dt * 1e3, 1),
+           campaign_means_ms=[round(m * 1e3, 1) for m in rep_means])
 
 
 if __name__ == "__main__":

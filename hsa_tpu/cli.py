@@ -422,7 +422,7 @@ def cmd_align(argv):
                     recs = al.align(br, bn, bq, read_offset=s,
                                     beam_width=a.beam_width,
                                     sopt=SamseOpt(n_multi=a.n_multi))
-            met.note_batch(len(br), recs, al.last_overflow)
+            met.note_batch(len(br), recs, al.last_overflow, aligner=al)
             with met.timer("write"):
                 for r in recs:
                     out.write(r.to_sam() + "\n")
@@ -445,7 +445,8 @@ def cmd_align(argv):
                 break
             s, (lines, flags) = item
             total = s + len(lines)
-            met.note_batch(len(lines), lines, al.last_overflow, flags=flags)
+            met.note_batch(len(lines), lines, al.last_overflow, flags=flags,
+                           aligner=al)
             with met.timer("write"):
                 out.write("\n".join(lines))
                 out.write("\n")

@@ -611,7 +611,7 @@ class Aligner:
                 n_seg)
 
     def _align_occ(self, handle, *, beam_width=None, max_hits=32,
-                   defer_fb=False):
+                   defer_fb=False, defer_retry=False):
         """Search-phase finalization: handle -> (occ dict, truncated[B],
         c2_extra[B]).
 
@@ -626,7 +626,12 @@ class Aligner:
         pool fallback reads ACROSS batches into one wide beam run — the
         beam's cost is dominated by fixed per-run latency (measured:
         2K lanes 1.3s vs 32K lanes 2.1s), so grouping is ~4x cheaper on
-        repeat-dense inputs than per-batch re-runs.
+        repeat-dense inputs than per-batch re-runs.  ``defer_retry=True``
+        (requires defer_fb) ALSO skips the in-batch seg_phase retry and
+        appends a fifth element ``retry_list`` of (read_id, missed1) —
+        a per-batch retry is a device call that queues behind the
+        stream's prefetched searches (measured ~400 ms of queue delay),
+        so the stream pools retries across batches too.
         """
         from .resolve.samse import collect_occurrences
         from .search import pigeon as pg
@@ -641,7 +646,9 @@ class Aligner:
             self.last_retry_frac = 0.0
             out = (pg.occ_lists_to_arrays(occs), list(tr),
                    np.zeros(B, np.int64))
-            return out + ([],) if defer_fb else out
+            if defer_fb:
+                return out + ([], []) if defer_retry else out + ([],)
+            return out
         _, rb, elig, sub, res, cc, n_seg = handle
         B = len(rb)
         occ, fb, missed = pg.pigeon_occ_arrays(res, len(sub), self.opt, cc)
@@ -652,18 +659,32 @@ class Aligner:
         has_occ = np.zeros(len(sub), bool)
         if occ["rid"].size:
             has_occ[np.unique(occ["rid"])] = True
-        occ, fb, missed, has_occ, self.last_retry_frac = self._retry_merge(
-            sub, occ, fb, missed, has_occ, n_seg)
-        fb = fb | ((missed > 0) & ~has_occ)   # such reads have no entries
         emap = np.asarray(elig, np.int64)
+        retry_list = []
+        if defer_retry and self._PIGEON_RETRY:
+            retry_cand = (missed > 0) & ~has_occ & ~fb
+            self.last_retry_frac = (float(retry_cand.mean())
+                                    if len(retry_cand) else 0.0)
+            ridx = np.nonzero(retry_cand)[0]
+            retry_list = list(zip(emap[ridx].tolist(),
+                                  missed[ridx].tolist()))
+            # deferred reads leave the batch as placeholders: no
+            # occurrences, no trunc — the flush patches their records
+            missed = missed.copy()
+            missed[ridx] = 0
+        else:
+            occ, fb, missed, has_occ, self.last_retry_frac = \
+                self._retry_merge(sub, occ, fb, missed, has_occ, n_seg)
+        fb = fb | ((missed > 0) & ~has_occ)   # such reads have no entries
         occ["rid"] = emap[occ["rid"]]
         inelig = sorted(set(range(B)) - set(elig))
         fb_ids = sorted([elig[i] for i in np.nonzero(fb)[0]] + inelig)
         self.last_fallback_frac = float(fb.mean()) if len(fb) else 0.0
         self.last_ineligible_frac = len(inelig) / B
-        keep_trunc = (missed > 0) & ~fb
+        keep_trunc = (missed > 0) & ~fb & has_occ
         self.last_trunc_frac = float(keep_trunc.mean()) if len(fb) else 0.0
-        self._profile_update(self.last_fallback_frac + self.last_trunc_frac)
+        self._profile_update(self.last_fallback_frac + self.last_trunc_frac
+                             + self.last_retry_frac)
         c2_extra = np.zeros(B, np.int64)
         c2_extra[emap[np.nonzero(keep_trunc)[0]]] = missed[keep_trunc]
         truncated = np.zeros(B, bool)
@@ -671,6 +692,8 @@ class Aligner:
         truncated = truncated.tolist()
         if defer_fb:
             self.last_overflow = (np.zeros(B, np.int32), np.zeros(B, np.int32))
+            if defer_retry:
+                return occ, truncated, c2_extra, fb_ids, retry_list
             return occ, truncated, c2_extra, fb_ids
         ld = np.zeros(B, np.int32)
         hd = np.zeros(B, np.int32)
@@ -682,6 +705,14 @@ class Aligner:
                 sld, shd)
         self.last_overflow = (ld, hd)
         return occ, truncated, c2_extra
+
+    # occurrence budget per fallback read in the beam re-run: fallback
+    # reads are high-copy repeats (measured ~180 occurrences each);
+    # locating all 512 (the default collect cap) costs more than the
+    # beam itself at pooled-flush sizes.  256 keeps c1/c2 saturated
+    # (MAPQ pins at 0 far earlier) and halves the locate bill; the
+    # truncation flag and capped MAPQ apply as for any capacity miss.
+    _FB_MAX_OCC = int(os.environ.get("HSA_FB_MAX_OCC", "256"))
 
     def _beam_rerun(self, bsub, beam_width=None, max_hits=32):
         """Widest-rung beam over a fallback read list (pow2-padded).
@@ -699,7 +730,8 @@ class Aligner:
                                    max_hits=max_hits,
                                    ladder=self.ladder[-1:] if self.ladder
                                    else None)
-        sub_occs, sub_trunc = collect_occurrences(hf, hr, self.locate_fn)
+        sub_occs, sub_trunc = collect_occurrences(hf, hr, self.locate_fn,
+                                                  self._FB_MAX_OCC)
         sld, shd = self.last_overflow
         half = len(bsub)
         ld = np.asarray([max(sld[i], sld[half + i] if len(sld) > half else 0)
@@ -780,43 +812,126 @@ class Aligner:
         """
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
+        from .resolve.samse import resolve_from_occ_arrays
         fb_flush = self._FB_FLUSH if fb_flush is None else fb_flush
         fb_group = self._FB_GROUP if fb_group is None else fb_group
-        ex = ThreadPoolExecutor(max_workers=2)
-        DEPTH = 2
-        staged = []     # (start, names, quals, rb, occ, trunc, c2x, fb, stats)
+        DEPTH = int(os.environ.get("HSA_SE_DEPTH", "2"))
+        ex = ThreadPoolExecutor(max_workers=DEPTH)
+        # resolve-at-stage, patch-at-flush (round 5): a batch with
+        # fallback reads is resolved IMMEDIATELY with those reads as
+        # unmapped placeholders (they have no occurrences yet), so the
+        # expensive per-batch resolution keeps overlapping the next
+        # batch's device step; the flush runs ONE pooled widest-rung
+        # beam over the group's fallback reads, resolves just those
+        # (~1% of reads) in one patch pass, and splices the records in
+        # place.  Record content is identical to per-batch re-runs —
+        # the patch pass hashes tie-breaks by GLOBAL read id.
+        staged = []  # (start, payload, rb, names, quals, fb_ids,
+        #               retry_list, n_seg, stats)
         fb_pending = 0
 
         def flush():
             nonlocal fb_pending
             if not staged:
                 return
-            all_fb = []
-            for _s, _n, _q, rb, _o, _t, _c, fb_ids, _st in staged:
-                all_fb.extend(rb[j] for j in fb_ids)
-            if all_fb:
+            from .search import pigeon as pg
+            # ---- 1. pooled seg_phase retry (grouped by n_seg) ----------
+            retry_groups: dict = {}
+            for si, ent in enumerate(staged):
+                for j, m1 in ent[6]:
+                    retry_groups.setdefault(ent[7], []).append((si, j, m1))
+            patch_items = []     # (si, j) in patch-slot order
+            occ_parts = []       # occ dicts, rid already = patch slot
+            trunc_p: list = []
+            c2x_p: list = []
+            beam_items = []      # (si, j) needing the beam
+            for n_seg_g, items in retry_groups.items():
+                reads_r = [staged[si][2][j] for si, j, _m in items]
+                occ2, fb2, missed2 = self._pigeon_retry(
+                    reads_r, np.arange(len(reads_r)), n_seg_g)
+                has2 = np.zeros(len(items), bool)
+                if occ2["rid"].size:
+                    has2[np.unique(occ2["rid"])] = True
+                rmap = np.full(len(items), -1, np.int64)
+                for i, (si, j, m1) in enumerate(items):
+                    if fb2[i] or (missed2[i] > 0 and not has2[i]):
+                        beam_items.append((si, j))
+                    elif has2[i]:
+                        rmap[i] = len(patch_items)
+                        patch_items.append((si, j))
+                        mfin = (0 if (missed2[i] == 0 and not fb2[i])
+                                else max(m1, int(missed2[i])))
+                        trunc_p.append(mfin > 0)
+                        c2x_p.append(mfin)
+                    # else: complete-and-empty — proven unmapped, the
+                    # stage-time placeholder record is already correct
+                if occ2["rid"].size:
+                    keep = rmap[occ2["rid"]] >= 0
+                    occ2 = {k: v[keep] for k, v in occ2.items()}
+                    occ2["rid"] = rmap[occ2["rid"]]
+                    occ_parts.append(occ2)
+            # ---- 2. pooled widest-rung beam (structural + dual fails) --
+            for si, ent in enumerate(staged):
+                beam_items.extend((si, j) for j in ent[5])
+            sld = shd = None
+            if beam_items:
+                reads_fb = [staged[si][2][j] for si, j in beam_items]
                 sub_occs, sub_trunc, sld, shd = self._beam_rerun(
-                    all_fb, beam_width, max_hits)
-            o = 0
-            for s, bn, bq, rb, occ, trunc, c2x, fb_ids, st in staged:
+                    reads_fb, beam_width, max_hits)
+                base = len(patch_items)
+                patch_items.extend(beam_items)
+                trunc_p.extend(bool(t) for t in sub_trunc)
+                c2x_p.extend(0 for _ in beam_items)
+                socc = pg.occ_lists_to_arrays(sub_occs)
+                socc["rid"] = socc["rid"] + base
+                occ_parts.append(socc)
+            # ---- 3. one patch resolve over every pooled read -----------
+            if patch_items:
+                occ_all = (occ_parts[0] if len(occ_parts) == 1 else
+                           {k: np.concatenate([p[k] for p in occ_parts])
+                            for k in occ_parts[0]})
+                order = np.lexsort((occ_all["pos"], occ_all["strand"],
+                                    occ_all["score"], occ_all["rid"]))
+                occ_all = {k: v[order] for k, v in occ_all.items()}
+                reads_p, names_p, quals_p, gids = [], [], [], []
+                for si, j in patch_items:
+                    s, _pl, rb, bn, bq = staged[si][:5]
+                    reads_p.append(rb[j])
+                    names_p.append(bn[j] if bn else f"read{s + j}")
+                    quals_p.append(bq[j] if bq else "*")
+                    gids.append(s + j)
+                patch = resolve_from_occ_arrays(
+                    self.text, self.meta, reads_p, names_p, quals_p,
+                    occ_all, trunc_p, self.opt, sopt, emit=emit,
+                    c2_extra=np.asarray(c2x_p, np.int64),
+                    hash_ids=np.asarray(gids, np.int64))
+            # ---- 4. splice + yield in input order ----------------------
+            slot_of = {sj: o for o, sj in enumerate(patch_items)}
+            beam_of = {sj: o for o, sj in enumerate(beam_items)}
+            for si, ent in enumerate(staged):
+                s, payload, rb, bn, bq, fb_ids, retry_list, _ns, st = ent
                 B = len(rb)
-                # start from the device search's own counters (beam-
-                # routed batches carry real drops — ADVICE r4) and let
-                # the pooled re-run overwrite its fallback reads
-                ld, hd = (np.asarray(st[3][0], np.int32).copy(),
-                          np.asarray(st[3][1], np.int32).copy())
-                if fb_ids:
-                    k = len(fb_ids)
-                    occ, trunc = self._merge_fb_batch(
-                        occ, trunc, ld, hd, fb_ids, sub_occs[o:o + k],
-                        sub_trunc[o:o + k], sld[o:o + k], shd[o:o + k])
-                    o += k
+                # device-search counters (beam-routed batches carry real
+                # drops — ADVICE r4); pooled re-run overwrites its reads
+                ld, hd = (np.asarray(st[4][0], np.int32).copy(),
+                          np.asarray(st[4][1], np.int32).copy())
+                for j in list(fb_ids) + [j for j, _m in retry_list]:
+                    o = slot_of.get((si, j))
+                    if o is None:       # proven-unmapped retry read
+                        continue
+                    if emit == "sam":
+                        payload[0][j] = patch[0][o]
+                        payload[1][j] = patch[1][o]
+                    else:
+                        payload[j] = patch[o]
+                    bo = beam_of.get((si, j))
+                    if bo is not None:
+                        ld[j] = sld[bo]
+                        hd[j] = shd[bo]
                 (self.last_fallback_frac, self.last_ineligible_frac,
-                 self.last_trunc_frac) = st[:3]
+                 self.last_trunc_frac, self.last_retry_frac) = st[:4]
                 self.last_overflow = (ld, hd)
-                yield s, self._resolve_occ(rb, bn, bq, occ, trunc, c2x,
-                                           read_offset=s, sopt=sopt,
-                                           emit=emit)
+                yield s, payload
             staged.clear()
             fb_pending = 0
 
@@ -838,16 +953,20 @@ class Aligner:
                     break
                 ps, pn, pq, pfut = pending.popleft()
                 handle = pfut.result()
-                occ, trunc, c2x, fb_ids = self._align_occ(
+                occ, trunc, c2x, fb_ids, retry_list = self._align_occ(
                     handle, beam_width=beam_width, max_hits=max_hits,
-                    defer_fb=True)
-                staged.append((ps, pn, pq, handle[1], occ, trunc, c2x,
-                               fb_ids,
-                               (self.last_fallback_frac,
-                                self.last_ineligible_frac,
-                                self.last_trunc_frac,
-                                self.last_overflow)))
-                fb_pending += len(fb_ids)
+                    defer_fb=True, defer_retry=True)
+                stats = (self.last_fallback_frac,
+                         self.last_ineligible_frac,
+                         self.last_trunc_frac, self.last_retry_frac,
+                         self.last_overflow)
+                payload = self._resolve_occ(handle[1], pn, pq, occ, trunc,
+                                            c2x, read_offset=ps, sopt=sopt,
+                                            emit=emit)
+                n_seg_b = handle[6] if handle[0] == "pigeon" else None
+                staged.append((ps, payload, handle[1], pn, pq, fb_ids,
+                               retry_list, n_seg_b, stats))
+                fb_pending += len(fb_ids) + len(retry_list)
                 if (fb_pending == 0 or fb_pending >= fb_flush
                         or len(staged) >= fb_group):
                     yield from flush()
@@ -963,7 +1082,8 @@ class Aligner:
                                        max_hits=max_hits,
                                        ladder=self.ladder[-1:]
                                        if self.ladder else None)
-            sub_occs, sub_trunc = collect_occurrences(hf, hr, self.locate_fn)
+            sub_occs, sub_trunc = collect_occurrences(hf, hr, self.locate_fn,
+                                                      self._FB_MAX_OCC)
             socc = pg.occ_lists_to_arrays(sub_occs[:len(fb_ids)])
             fmap = np.asarray(fb_ids, np.int64)
             socc["rid"] = (fmap[socc["rid"]] if socc["rid"].size
@@ -989,8 +1109,8 @@ class Aligner:
         """
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
-        ex = ThreadPoolExecutor(max_workers=2)
-        DEPTH = 2
+        DEPTH = int(os.environ.get("HSA_PE_DEPTH", "2"))
+        ex = ThreadPoolExecutor(max_workers=DEPTH)
         try:
             pending = deque()
             it = iter(batches)

@@ -255,7 +255,7 @@ _DECODE_LUT = np.frombuffer(b"ACGTNN", dtype=np.uint8).copy()
 def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
                             opt: AlnOpt, sopt: SamseOpt | None = None,
                             read_offset: int = 0, emit: str = "records",
-                            c2_extra=None):
+                            c2_extra=None, hash_ids=None):
     """Vectorized resolution over flat occurrence arrays.
 
     ``occ`` is the dict produced by
@@ -336,7 +336,13 @@ def resolve_from_occ_arrays(text, meta, reads, names, quals, occ, truncated,
     else:
         x_grp = None
     c2 = np.minimum(nwin - nbest + (x_grp if x_grp is not None else 0), 256)
-    k = (((read_offset + grp_rid).astype(np.uint64) * np.uint64(_HASH))
+    # tie-break ids: read_offset + batch position by default; callers
+    # resolving a NON-CONTIGUOUS read subset (the stream's fallback
+    # patch pass) pass the global ids explicitly so the deterministic
+    # pick matches a whole-batch resolution of the same reads
+    hids = (np.asarray(hash_ids, np.int64)[grp_rid] if hash_ids is not None
+            else read_offset + grp_rid) if rid.size else grp_rid
+    k = ((hids.astype(np.uint64) * np.uint64(_HASH))
          % np.uint64(1 << 32)) % np.maximum(nbest, 1).astype(np.uint64)
     pick_idx = grp_first + k.astype(np.int64)
 
