@@ -132,11 +132,16 @@ def _secondary_row(model: str, mbp: int, opt, allow_build: bool,
     al = Aligner.from_arrays(di, text, opt=opt, ladder=list(LADDER),
                              engine=ENGINE, index_dir=kdir)
     reads = make_reads(text, di.n)
-    al.align(reads, read_offset=0)          # warm/compile
-    for _ in al.align_stream(                # settle profile + shapes
-            ((i * BATCH, None, reads, None) for i in range(2)), emit="sam"):
-        pass
+    al.align(reads, read_offset=0)          # warm/compile + profile settle
     it = iters or ITERS
+    # settle with one FULL campaign: the pooled-escalation shape classes
+    # depend on the campaign length (12 batches pool a different retry/
+    # beam pad than 2), and even persistent-cache loads of those
+    # programs cost seconds when they land inside the timed campaign
+    for _s, _lf in al.align_stream(
+            ((i * BATCH, None, reads, None) for i in range(it)),
+            emit="sam"):
+        pass
     ts = [_t.time()]
     for _s, _lf in al.align_stream(
             ((i * BATCH, None, reads, None) for i in range(it)),
