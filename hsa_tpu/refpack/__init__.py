@@ -64,6 +64,13 @@ def _load():
                                        ctypes.c_int64, ctypes.c_int32,
                                        ctypes.c_int32, ctypes.c_int32, u32p]
         lib.rp_pigeon_pack.restype = ctypes.c_int
+    if hasattr(lib, "rp_glocal_batch"):
+        lib.rp_glocal_batch.argtypes = [u8p, i64p, i32p, u8p, i64p, i32p,
+                                        ctypes.c_int32, ctypes.c_int32,
+                                        ctypes.c_int32, ctypes.c_int32,
+                                        u8p, ctypes.c_int32, i32p, i32p,
+                                        i32p]
+        lib.rp_glocal_batch.restype = ctypes.c_int
     if hasattr(lib, "rp_banded_global"):
         lib.rp_banded_global.argtypes = [u8p, ctypes.c_int32, u8p,
                                          ctypes.c_int32, ctypes.c_int32,
@@ -305,3 +312,49 @@ def unpack_2bit(packed: np.ndarray, n: int) -> np.ndarray:
         return out
     lib.rp_unpack_2bit(_u8(p), n, _u8(out))
     return out
+
+
+def glocal_batch(reads_buf: np.ndarray, r_off: np.ndarray, r_len: np.ndarray,
+                 text: np.ndarray, w_off: np.ndarray, w_len: np.ndarray,
+                 s_mm: int, s_gapo: int, s_gape: int):
+    """Batched native glocal DP (free ref start/end, full read) — the
+    mate-rescue aligner (lineage: ``bwa_paired_sw``/``stdaln.c``).
+
+    Exact twin of :func:`hsa_tpu.resolve.sampe.fit_in_window` (tested
+    equal on cost/start/ops).  ``reads_buf`` is a flat uint8 code buffer
+    addressed by ``r_off``; windows are TEXT SLICES addressed by
+    ``w_off``/``w_len`` (no copies).  Returns (cost int32[n],
+    start int32[n], ops list of uint8 arrays with 0=M 1=I 2=D), or None
+    when the native library is absent.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "rp_glocal_batch"):
+        return None
+    n = int(len(r_len))
+    if n == 0:
+        z = np.zeros(0, np.int32)
+        return z, z, []
+    rb = np.ascontiguousarray(reads_buf, np.uint8)
+    t8 = (text.view(np.uint8) if text.dtype.itemsize == 1
+          and text.flags.c_contiguous
+          else np.ascontiguousarray(text, np.uint8))
+    r_off = np.ascontiguousarray(r_off, np.int64)
+    r_len = np.ascontiguousarray(r_len, np.int32)
+    w_off = np.ascontiguousarray(w_off, np.int64)
+    w_len = np.ascontiguousarray(w_len, np.int32)
+    ops_cap = int(r_len.max()) + int(w_len.max()) + 8
+    ops = np.empty((n, ops_cap), np.uint8)
+    n_ops = np.zeros(n, np.int32)
+    cost = np.zeros(n, np.int32)
+    start = np.zeros(n, np.int32)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.rp_glocal_batch(
+        _u8(rb), r_off.ctypes.data_as(i64), r_len.ctypes.data_as(i32),
+        _u8(t8), w_off.ctypes.data_as(i64), w_len.ctypes.data_as(i32),
+        n, s_mm, s_gapo, s_gape, _u8(ops), ops_cap,
+        n_ops.ctypes.data_as(i32), cost.ctypes.data_as(i32),
+        start.ctypes.data_as(i32))
+    if rc != 0:
+        raise RuntimeError(f"rp_glocal_batch failed: {rc}")
+    return cost, start, [ops[i, :n_ops[i]].copy() for i in range(n)]

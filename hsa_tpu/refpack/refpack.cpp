@@ -540,3 +540,140 @@ extern "C" int rp_banded_batch(
     if (errs[i] != 0) return errs[i];
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Glocal DP (free ref start/end, full read) — the mate-rescue aligner.
+// Exact twin of hsa_tpu.resolve.sampe.fit_in_window (tested equal):
+// row 0 of M is 0 at every column (free start anywhere in the window),
+// cost is min over states at row L with the FIRST minimal end column,
+// traceback prefers M > D > I and matches by value equality.
+// Lineage role: bwa_paired_sw / stdaln.c (SURVEY.md §3.4).
+// ---------------------------------------------------------------------------
+
+static int glocal_core(
+    const uint8_t* read, int32_t L, const uint8_t* win, int32_t G,
+    int32_t s_mm, int32_t s_gapo, int32_t s_gape,
+    uint8_t* ops_out, int32_t ops_cap, int32_t* n_ops,
+    int32_t* cost_out, int32_t* start_out) {
+  if (L < 0 || G < 0) return -1;
+  const int32_t BIG = 1 << 28;
+  const int64_t W = (int64_t)G + 1;
+  std::vector<int32_t> m((L + 1) * W, BIG), ins((L + 1) * W, BIG),
+      dele((L + 1) * W, BIG);
+  auto M = [&](int64_t i, int64_t j) -> int32_t& { return m[i * W + j]; };
+  auto I = [&](int64_t i, int64_t j) -> int32_t& { return ins[i * W + j]; };
+  auto D = [&](int64_t i, int64_t j) -> int32_t& { return dele[i * W + j]; };
+  for (int64_t j = 0; j <= G; ++j) M(0, j) = 0;   // free start
+  for (int64_t i = 1; i <= L; ++i) {
+    // ins column 0 first (the only j=0 state that updates)
+    {
+      int32_t iv = M(i - 1, 0) + s_gapo;
+      int32_t iv2 = I(i - 1, 0) + s_gape;
+      I(i, 0) = iv < iv2 ? iv : iv2;
+    }
+    for (int64_t j = 1; j <= G; ++j) {
+      int32_t sub = (read[i - 1] > 3 || read[i - 1] != win[j - 1]) ? s_mm : 0;
+      int32_t bp = M(i - 1, j - 1);
+      if (I(i - 1, j - 1) < bp) bp = I(i - 1, j - 1);
+      if (D(i - 1, j - 1) < bp) bp = D(i - 1, j - 1);
+      M(i, j) = bp + sub;
+      int32_t iv = M(i - 1, j) + s_gapo;
+      int32_t iv2 = I(i - 1, j) + s_gape;
+      I(i, j) = iv < iv2 ? iv : iv2;
+      int32_t dv = M(i, j - 1) + s_gapo;
+      int32_t dv2 = D(i, j - 1) + s_gape;
+      D(i, j) = dv < dv2 ? dv : dv2;
+    }
+  }
+  int64_t jend = 0;
+  int32_t best = M(L, 0);
+  if (I(L, 0) < best) best = I(L, 0);
+  if (D(L, 0) < best) best = D(L, 0);
+  for (int64_t j = 1; j <= G; ++j) {
+    int32_t t = M(L, j);
+    if (I(L, j) < t) t = I(L, j);
+    if (D(L, j) < t) t = D(L, j);
+    if (t < best) { best = t; jend = j; }   // strict: FIRST min wins
+  }
+  *cost_out = best;
+  if (best >= BIG) { *n_ops = 0; *start_out = -1; return 0; }
+  // traceback (state order m > dele > ins, matching np.argmin order)
+  int64_t i = L, j = jend;
+  int32_t state = 0;
+  {
+    int32_t vals[3] = {M(L, jend), D(L, jend), I(L, jend)};
+    if (vals[1] < vals[state]) state = 1;
+    if (vals[2] < vals[state]) state = 2;
+  }
+  int32_t n = 0;
+  while (i > 0) {
+    if (n >= ops_cap) return -2;
+    if (j == 0) { ops_out[n++] = 1; --i; continue; }   // I
+    if (state == 0) {
+      int32_t sub = (read[i - 1] > 3 || read[i - 1] != win[j - 1]) ? s_mm : 0;
+      int32_t target = M(i, j) - sub;
+      int32_t prev[3] = {M(i - 1, j - 1), D(i - 1, j - 1), I(i - 1, j - 1)};
+      for (int s = 0; s < 3; ++s)
+        if (prev[s] == target) { state = s; break; }
+      ops_out[n++] = 0; --i; --j;                      // M
+    } else if (state == 1) {
+      state = (M(i, j - 1) + s_gapo == D(i, j)) ? 0 : 1;
+      ops_out[n++] = 2; --j;                           // D
+    } else {
+      state = (M(i - 1, j) + s_gapo == I(i, j)) ? 0 : 2;
+      ops_out[n++] = 1; --i;                           // I
+    }
+  }
+  for (int32_t a = 0, b = n - 1; a < b; ++a, --b) {
+    uint8_t t = ops_out[a]; ops_out[a] = ops_out[b]; ops_out[b] = t;
+  }
+  *n_ops = n;
+  *start_out = (int32_t)j;
+  return 0;
+}
+
+static void glocal_batch_range(
+    const uint8_t* reads, const int64_t* r_off, const int32_t* r_len,
+    const uint8_t* text, const int64_t* w_off, const int32_t* w_len,
+    int32_t lo, int32_t hi, int32_t s_mm, int32_t s_gapo, int32_t s_gape,
+    uint8_t* ops_out, int32_t ops_cap, int32_t* n_ops,
+    int32_t* cost_out, int32_t* start_out, int* err) {
+  for (int32_t i = lo; i < hi; ++i) {
+    int rc = glocal_core(reads + r_off[i], r_len[i], text + w_off[i],
+                         w_len[i], s_mm, s_gapo, s_gape,
+                         ops_out + (int64_t)i * ops_cap, ops_cap,
+                         n_ops + i, cost_out + i, start_out + i);
+    if (rc != 0) { *err = rc; return; }
+  }
+}
+
+extern "C" int rp_glocal_batch(
+    const uint8_t* reads, const int64_t* r_off, const int32_t* r_len,
+    const uint8_t* text, const int64_t* w_off, const int32_t* w_len,
+    int32_t n, int32_t s_mm, int32_t s_gapo, int32_t s_gape,
+    uint8_t* ops_out, int32_t ops_cap, int32_t* n_ops,
+    int32_t* cost_out, int32_t* start_out) {
+  if (n < 0) return -1;
+  int errs[8] = {0};
+  const int nthreads = n > 64 ? 8 : 1;
+  if (nthreads == 1) {
+    glocal_batch_range(reads, r_off, r_len, text, w_off, w_len, 0, n,
+                       s_mm, s_gapo, s_gape, ops_out, ops_cap, n_ops,
+                       cost_out, start_out, &errs[0]);
+  } else {
+    std::vector<std::thread> ts;
+    const int32_t step = (n + nthreads - 1) / nthreads;
+    for (int i = 0; i < nthreads; ++i) {
+      const int32_t lo = i * step;
+      const int32_t hi = lo + step < n ? lo + step : n;
+      if (lo >= hi) break;
+      ts.emplace_back(glocal_batch_range, reads, r_off, r_len, text, w_off,
+                      w_len, lo, hi, s_mm, s_gapo, s_gape, ops_out, ops_cap,
+                      n_ops, cost_out, start_out, &errs[i]);
+    }
+    for (auto& t : ts) t.join();
+  }
+  for (int i = 0; i < nthreads && i < 8; ++i)
+    if (errs[i] != 0) return errs[i];
+  return 0;
+}

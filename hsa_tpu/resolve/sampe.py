@@ -724,27 +724,91 @@ def _rescue_window(text, meta, anchor: Occurrence, L: int, rlim: int):
     return lo, hi, strand
 
 
-def _rescue_batch(text, meta, jobs, rlim, opt: AlnOpt):
-    """Screen all rescue jobs in one device DP pass; traceback on accepts.
+def _cigar_from_ops(ops):
+    """uint8 op codes (0=M 1=I 2=D) -> run-length cigar list."""
+    cigar = []
+    for op in ops:
+        ch = "MID"[op]
+        if cigar and cigar[-1][0] == ch:
+            cigar[-1][1] += 1
+        else:
+            cigar.append([ch, 1])
+    return [(op, ln) for op, ln in cigar]
 
-    jobs: [(pair_idx, missing_end, anchor, read, L)].  Yields
-    (pair_idx, missing_end, Occurrence|None).  The screen uses the
-    batched glocal kernel (hsa_tpu.kernels.sw); the acceptance rule and
-    the per-accept host traceback match the single-pair path exactly.
+
+def _rescue_accept(text, lo, hi, strand, target, L, cost, start, cigar,
+                   opt: AlnOpt):
+    """Shared acceptance rule + Occurrence construction for a rescue."""
+    budget = max(opt.diff_budget(L), round(0.15 * L))
+    if start < 0 or cost > budget * opt.s_mm:
+        return None
+    n_ins = sum(ln for op, ln in cigar if op == "I")
+    n_del = sum(ln for op, ln in cigar if op == "D")
+    n_opens = sum(1 for op, ln in cigar if op in ("I", "D"))
+    window = np.asarray(text[lo:hi])
+    nm, _ = cigar_stats(cigar, target, window[start:start + L + n_del])
+    return Occurrence(lo + start, strand, cost, nm - n_ins - n_del,
+                      n_opens, max(n_ins + n_del - n_opens, 0))
+
+
+def _rescue_batch(text, meta, jobs, rlim, opt: AlnOpt):
+    """All rescue jobs in one batched glocal DP; yields
+    (pair_idx, missing_end, Occurrence|None).
+
+    jobs: [(pair_idx, missing_end, anchor, read, L)].  Native path: ONE
+    multithreaded ``rp_glocal_batch`` call computes cost/start/ops for
+    every job (exact ``fit_in_window`` twin — the per-accept Python DP
+    at ~5-26 ms/job dominated repeat-dense paired resolution, and the
+    separate device screen recompiled per window-shape class).
+    Fallback (no native lib): the jnp screen + per-accept Python
+    traceback, identical results.
     """
     if not jobs:
         return
-    import jax.numpy as jnp
-    from ..kernels.sw import glocal_screen
+    from .. import refpack as _rp
 
     prepped = []
     for j, missing, anchor, read, L in jobs:
         lo, hi, strand = _rescue_window(text, meta, anchor, L, rlim)
         target = alphabet.revcomp(read) if strand == 1 else np.asarray(read)
         prepped.append((j, missing, lo, hi, strand, target, L))
-    Lmax = max(p[6] for p in prepped)
-    Gmax = max(p[3] - p[2] for p in prepped)
-    R = len(prepped)
+
+    if _rp._load() is not None and hasattr(_rp._load(), "rp_glocal_batch"):
+        R = len(prepped)
+        Lmax = max(p[6] for p in prepped)
+        rbuf = np.zeros((R, Lmax), np.uint8)
+        r_off = np.arange(R, dtype=np.int64) * Lmax
+        r_len = np.zeros(R, np.int32)
+        w_off = np.zeros(R, np.int64)
+        w_len = np.zeros(R, np.int32)
+        for i, (j, missing, lo, hi, strand, target, L) in enumerate(prepped):
+            rbuf[i, :L] = np.asarray(target, np.uint8)
+            r_len[i] = L
+            w_off[i] = lo
+            w_len[i] = hi - lo
+        cost, start, ops = _rp.glocal_batch(
+            rbuf, r_off, r_len, np.asarray(text), w_off, w_len,
+            opt.s_mm, opt.s_gapo, opt.s_gape)
+        for i, (j, missing, lo, hi, strand, target, L) in enumerate(prepped):
+            if hi - lo < L:
+                yield j, missing, None
+                continue
+            yield j, missing, _rescue_accept(
+                text, lo, hi, strand, target, L, int(cost[i]),
+                int(start[i]), _cigar_from_ops(ops[i]), opt)
+        return
+
+    import jax.numpy as jnp
+    from ..kernels.sw import glocal_screen
+    # quantized shapes: the window span varies with the inferred insert
+    # stats, so raw (R, Lmax, Gmax) would recompile the screen every
+    # batch (measured ~0.5 s/batch on repeat-dense PE); padded lanes
+    # are fully masked by lens/wlens
+    def _q(x, step):
+        return ((max(x, 1) + step - 1) // step) * step
+    Lmax = _q(max(p[6] for p in prepped), 32)
+    Gmax = _q(max(p[3] - p[2] for p in prepped), 128)
+    R = 1 << max(len(prepped) - 1, 0).bit_length()
     reads_a = np.zeros((R, Lmax), np.int32)
     lens_a = np.zeros(R, np.int32)
     wins_a = np.zeros((R, Gmax), np.int32)

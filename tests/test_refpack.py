@@ -200,3 +200,56 @@ def test_banded_batch_fuzz_vs_python_twin():
             assert nm[i] == nm2, i
             assert glen[i] == je, i
             assert gapb[i] == sum(ln for op, ln in cg if op in "ID"), i
+
+
+def test_glocal_batch_matches_fit_in_window():
+    """rp_glocal_batch is an exact twin of resolve.sampe.fit_in_window:
+    same cost, start, and op sequence on randomized rescue-style jobs
+    (incl. mismatch-heavy and indel reads), plus an n > 64 case for the
+    threaded path."""
+    from hsa_tpu import refpack
+    from hsa_tpu.resolve.sampe import fit_in_window
+    lib = refpack._load()
+    if lib is None or not hasattr(lib, "rp_glocal_batch"):
+        import pytest
+        pytest.skip("native librefpack not available")
+    rs = np.random.RandomState(123)
+    text = rs.randint(0, 4, 30000).astype(np.int8)
+    for n_jobs in (9, 100):
+        Lmax = 60
+        rbuf = np.zeros((n_jobs, Lmax), np.uint8)
+        r_off = np.arange(n_jobs, dtype=np.int64) * Lmax
+        r_len = np.zeros(n_jobs, np.int32)
+        w_off = np.zeros(n_jobs, np.int64)
+        w_len = np.zeros(n_jobs, np.int32)
+        for i in range(n_jobs):
+            L = int(rs.randint(20, Lmax + 1))
+            G = int(rs.randint(L, L + 300))
+            p = int(rs.randint(0, len(text) - G))
+            q = int(rs.randint(0, G - L + 1))
+            rd = text[p + q:p + q + L].copy()
+            for _ in range(rs.randint(0, 6)):
+                c = rs.randint(0, L)
+                rd[c] = (rd[c] + rs.randint(1, 4)) % 4
+            if rs.rand() < 0.3 and L > 20:   # 1bp deletion from the read
+                rd = np.delete(text[p + q:p + q + L + 1].copy(), L // 2)
+            rbuf[i, :len(rd)] = rd
+            r_len[i] = len(rd)
+            w_off[i] = p
+            w_len[i] = G
+        cost, start, ops = refpack.glocal_batch(
+            rbuf, r_off, r_len, text, w_off, w_len, 3, 11, 4)
+        for i in range(n_jobs):
+            rd = rbuf[i, :r_len[i]].astype(np.int8)
+            win = text[w_off[i]:w_off[i] + w_len[i]]
+            c2, s2, cg2 = fit_in_window(rd, win, 3, 11, 4)
+            assert int(cost[i]) == c2, i
+            assert int(start[i]) == s2, i
+            runs = []
+            for op in ops[i]:
+                ch = "MID"[op]
+                if runs and runs[-1][0] == ch:
+                    runs[-1] = (ch, runs[-1][1] + 1)
+                else:
+                    runs.append((ch, 1))
+            assert runs == [(a, b) for a, b in cg2], i
