@@ -44,6 +44,26 @@ for n in (0, 1, 2, 37, 500, 5000):
 # repetitive stress (SA-IS LMS recursion depth)
 t = np.tile(rs.randint(0, 4, 13).astype(np.uint8), 400)
 assert np.array_equal(refpack.suffix_array(t), np_sa(t.astype(np.int8)))
+# glocal rescue DP battery (round 5): threaded path + edge shapes
+if hasattr(refpack._load(), "rp_glocal_batch"):
+    text = rs.randint(0, 4, 5000).astype(np.int8)
+    NJ, Lm = 100, 40
+    rbuf = np.zeros((NJ, Lm), np.uint8)
+    r_off = np.arange(NJ, dtype=np.int64) * Lm
+    r_len = np.zeros(NJ, np.int32)
+    w_off = np.zeros(NJ, np.int64)
+    w_len = np.zeros(NJ, np.int32)
+    for i in range(NJ):
+        L = int(rs.randint(1, Lm + 1))
+        G = int(rs.randint(0, 300))
+        p = int(rs.randint(0, len(text) - max(G, 1)))
+        rbuf[i, :L] = rs.randint(0, 5, L)   # incl. N codes
+        r_len[i] = L
+        w_off[i] = p
+        w_len[i] = G
+    cost, start, ops = refpack.glocal_batch(rbuf, r_off, r_len, text,
+                                            w_off, w_len, 3, 11, 4)
+    assert len(ops) == NJ
 print("ASAN-BATTERY-OK")
 """
 
