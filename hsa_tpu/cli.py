@@ -38,7 +38,9 @@ def _add_search_opts(p):
                    help="beam width (frontier capacity per read)")
     p.add_argument("--ladder", default=None,
                    help="adaptive beam widths, e.g. 8,64 (overrides -W)")
-    p.add_argument("--batch", type=int, default=2048, help="reads per device batch")
+    p.add_argument("--batch", type=int, default=16384,
+                   help="reads per device batch (16K wins e2e on the "
+                        "pipeline interleave — BASELINE.md batch sweep)")
 
 
 def _opt_from_args(a) -> AlnOpt:
