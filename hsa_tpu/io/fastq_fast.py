@@ -75,6 +75,12 @@ class FastqBatcher:
                     if tail:
                         self._buf += tail
                         grew = True
+                    if not self._dec.eof:
+                        # matches gzip.open's behavior on truncated
+                        # input — silent acceptance would drop reads
+                        raise EOFError(
+                            "compressed FASTQ stream truncated "
+                            "(end-of-stream marker missing)")
                     break
             cap = self._gz_target - len(self._buf) + (1 << 16)
             data = self._dec.decompress(src, cap)

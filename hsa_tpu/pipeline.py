@@ -458,22 +458,20 @@ class Aligner:
         """Alternate-partition (seg_phase) pigeon pass over the capacity-
         fallback subset: reads truncated with no verified candidate.
 
-        Runs at the WIDE repeat caps (the subset is small, so wide caps
+        Runs at the WIDE retry caps (the subset is small, so wide caps
         cost little) on the half-shifted partition — a read missed by
         pass 1's capped enumeration usually anchors on a narrower
         segment of the shifted partition.  Returns (occ dict with rid
-        local to ridx order, fb bool[n], missed int64[n]).  Batches pad
-        to a power of two (>= 128) to bound the compile-shape set.
+        local to ridx order, fb bool[n], missed int64[n]); pads per
+        :func:`_beam_pad` to bound the compile-shape set.
         """
         from .search import pigeon as pg
         reads = [sub[int(j)] for j in ridx]
         n = len(reads)
-        # pad to a power of FOUR (>= 512): each distinct retry shape
-        # costs a pigeon compile, and per-batch retry counts vary — two
-        # or three shape classes cover a whole stream
-        tgt = 512
-        while tgt < n:
-            tgt *= 4
+        # quantized padding (_beam_pad: pow2 up to 64, then pow4 from
+        # 512) — each distinct retry shape costs a pigeon compile, and
+        # per-batch retry counts vary
+        tgt = _beam_pad(n)
         reads = reads + [reads[0]] * (tgt - n)
         cc = self._PIGEON_RETRY_CAPS[1]
         res = self._pigeon_raw(reads, n_seg, prof="retry", seg_phase=True)
@@ -490,21 +488,20 @@ class Aligner:
         retry_frac).  ``fb`` on entry must be the ENGINE (structural)
         fallback only.
         """
+        if not self._PIGEON_RETRY:
+            # no retry load when the pass is disabled (the candidates
+            # fall straight to the beam and count as fallback)
+            return occ, fb, missed, has_occ, 0.0
         retry = (missed > 0) & ~has_occ & ~fb
         rfrac = float(retry.mean()) if len(retry) else 0.0
-        if not (self._PIGEON_RETRY and retry.any()):
+        if not retry.any():
             return occ, fb, missed, has_occ, rfrac
         ridx = np.nonzero(retry)[0]
         occ2, fb2, missed2 = self._pigeon_retry(sub, ridx, n_seg)
         if occ2["rid"].size:
-            occ2 = dict(occ2)
-            occ2["rid"] = ridx[occ2["rid"]]
-            occ = {k: np.concatenate([occ[k], occ2[k]]) for k in occ}
-            order = np.lexsort((occ["pos"], occ["strand"], occ["score"],
-                                occ["rid"]))
-            occ = {k: v[order] for k, v in occ.items()}
+            occ = _occ_merge(occ, occ2, ridx)
             has_occ = has_occ.copy()
-            has_occ[np.unique(occ2["rid"])] = True
+            has_occ[ridx[np.unique(occ2["rid"])]] = True
         # a COMPLETE (untruncated, non-structural) retry enumerated every
         # alignment of the shifted partition — its result set is exact,
         # so clear the truncation; otherwise keep the larger shortfall
@@ -727,7 +724,8 @@ class Aligner:
     _FB_MAX_OCC = int(os.environ.get("HSA_FB_MAX_OCC", "256"))
 
     def _beam_rerun(self, bsub, beam_width=None, max_hits=32):
-        """Widest-rung beam over a fallback read list (pow2-padded).
+        """Widest-rung beam over a fallback read list (padded per
+        :func:`_beam_pad`).
 
         Fallback reads are here BECAUSE the screen found them hard
         (repeat-dense or structural): the narrow ladder rungs almost
@@ -1029,7 +1027,7 @@ class Aligner:
                 self._pigeon_caps(prof)[1])
 
     def _align_pe_occ(self, handle, all_reads, *, beam_width=None,
-                      max_hits=32, defer: bool = False):
+                      max_hits=32, defer: bool = False, peopt=None):
         """PE search-phase finalization: handle -> (occ dict in [0, 2B)
         read space, trunc[2B], c2x[2B], fb_ids, retry_list).
 
@@ -1045,7 +1043,7 @@ class Aligner:
         from .search import pigeon as pg
         B = len(all_reads) // 2
         if handle[0] == "beam":
-            cap = min(PEOpt().max_occ, 256)
+            cap = min((peopt or PEOpt()).max_occ, 256)
             hf, hr = self.hits_from_device(handle[2])
             occs_all, trunc_all = collect_occurrences(hf, hr,
                                                       self.locate_fn, cap)
@@ -1121,7 +1119,8 @@ class Aligner:
         names = names or [f"pair{read_offset + i}" for i in range(len(reads1))]
         all_reads = list(reads1) + list(reads2)
         occ, trunc, c2x, _fb, _rt = self._align_pe_occ(
-            handle, all_reads, beam_width=beam_width, max_hits=max_hits)
+            handle, all_reads, beam_width=beam_width, max_hits=max_hits,
+            peopt=peopt)
         return resolve_pe_from_occ_arrays(
             self.text, self.meta, reads1, reads2, names, quals1, quals2,
             occ, self.opt, peopt, read_offset=read_offset, trunc=trunc,
@@ -1254,7 +1253,7 @@ class Aligner:
                 all_reads = list(r1) + list(r2)
                 occ, trunc, c2x, fb_ids, retry_list = self._align_pe_occ(
                     handle, all_reads, beam_width=beam_width,
-                    max_hits=max_hits, defer=True)
+                    max_hits=max_hits, defer=True, peopt=peopt)
                 stats = (self.last_fallback_frac,
                          self.last_ineligible_frac, self.last_retry_frac)
                 n_seg_b = handle[2] if handle[0] == "pigeon" else None

@@ -356,12 +356,14 @@ def _bulk_ungapped_cores(text, meta, jobs, opt):
     starts_a = np.asarray(meta.starts, np.int64)
     si = np.searchsorted(starts_a, pos, side="right") - 1
     # callers span-filter occurrences (samse._span_possible), so every
-    # position maps inside a sequence; assert rather than silently
-    # assigning the nearest name (ADVICE r4)
-    assert si.min(initial=0) >= 0 and (
-        pos - starts_a[np.maximum(si, 0)]
-        < np.asarray(meta.lengths, np.int64)[np.maximum(si, 0)]).all(), \
-        "unfiltered out-of-range occurrence reached record building"
+    # position maps inside a sequence; raise rather than silently
+    # assigning the nearest name (ADVICE r4; not a bare assert — it
+    # must survive python -O)
+    if si.min(initial=0) < 0 or not (
+            pos - starts_a[np.maximum(si, 0)]
+            < np.asarray(meta.lengths, np.int64)[np.maximum(si, 0)]).all():
+        raise ValueError(
+            "unfiltered out-of-range occurrence reached record building")
     off1 = (pos - starts_a[si] + 1).tolist()
     si_l = si.tolist()
     lens_l = lens.tolist()
@@ -918,7 +920,7 @@ def resolve_pe_from_occ_arrays(text, meta, reads1, reads2, names, quals1,
     records formatted directly (lineage: ``bwape.c`` record emission,
     SURVEY.md §3.4).
     """
-    from .samse import _DECODE_LUT, _span_possible
+    from .samse import _DECODE_LUT
     peopt = peopt or PEOpt()
     B = len(reads1)
     N = 2 * B

@@ -309,14 +309,16 @@ def pack_pigeon_upload(batch, md):
     # bit-field range checks (ADVICE r4): silent overflow here would
     # produce wrong alignments with no error — kmer gets 24 bits (K=12
     # fits exactly; K>=13 would corrupt), the 16-bit fields cover reads
-    # <= MAX_READ_LEN with huge margin but guard against future edits
-    if "kmer" in batch:
-        assert batch["kmer"].max(initial=0) < (1 << 24), \
-            "kmer index overflows its 24-bit upload field (K too large)"
-    assert batch["seg_lens"].max(initial=0) < (1 << 16)
-    assert batch["seg_off"].max(initial=0) < (1 << 16)
-    assert batch["lens"].max(initial=0) < (1 << 16)
-    assert np.asarray(md).max(initial=0) < (1 << 16)
+    # <= MAX_READ_LEN with huge margin but guard against future edits.
+    # Explicit raises (not asserts) so they survive python -O.
+    if "kmer" in batch and batch["kmer"].max(initial=0) >= (1 << 24):
+        raise ValueError(
+            "kmer index overflows its 24-bit upload field (K too large)")
+    for fld in ("seg_lens", "seg_off", "lens"):
+        if batch[fld].max(initial=0) >= (1 << 16):
+            raise ValueError(f"{fld} overflows its 16-bit upload field")
+    if np.asarray(md).max(initial=0) >= (1 << 16):
+        raise ValueError("md overflows its 16-bit upload field")
     S4 = (SL + 3) // 4
     segs4 = np.zeros((R, S4), np.uint32)
     sr = segs.astype(np.uint32)

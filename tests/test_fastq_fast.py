@@ -117,3 +117,17 @@ def test_batcher_gzip_multimember(tmp_path):
                                                    max_len=128)
            for n in names]
     assert got == [r[0] for r in r1] + [r[0] for r in r2]
+
+
+def test_batcher_gzip_truncated_raises(tmp_path):
+    """A .gz cut mid-stream raises EOFError instead of silently
+    yielding a shorter file (parity with gzip.open's behavior)."""
+    plain = tmp_path / "r.fq"
+    write_fastq(plain, n=100, varlen=False)
+    gz = tmp_path / "r.fq.gz"
+    data = gzip.compress(plain.read_bytes())
+    gz.write_bytes(data[:len(data) // 2])
+    b = FastqBatcher(str(gz), batch=16, max_len=128)
+    with pytest.raises(EOFError):
+        for _ in b:
+            pass

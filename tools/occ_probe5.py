@@ -45,11 +45,11 @@ def main():
     rs = np.random.RandomState(3)
     qs_rand = rs.randint(0, n, Q).astype(np.uint32)
     qs_sort = np.sort(qs_rand)
-    # block-coalesced: random 128-query blocks of consecutive rows
+    # block-coalesced: random 128-query blocks of CONSECUTIVE ranks
+    # (adjacent queries share or neighbor a fused row)
     nblk = Q // 128
-    base = rs.randint(0, max(n - 128 * 64, 1), nblk).astype(np.uint32)
-    qs_blk = ((base[:, None]
-               + (np.arange(128, dtype=np.uint32) * 64)[None, :])
+    base = rs.randint(0, max(n - 129, 1), nblk).astype(np.uint32)
+    qs_blk = ((base[:, None] + np.arange(128, dtype=np.uint32)[None, :])
               .reshape(-1) % np.uint32(n))
 
     def bench(fn, *args, iters=4, inner=1):
