@@ -102,6 +102,38 @@ def _iter_batches(names, reads, quals, batch):
         yield s, names[s:s + batch], reads[s:s + batch], quals[s:s + batch]
 
 
+def _prefetch(gen, depth: int = 2):
+    """Run a batch generator on a reader thread, ``depth`` items ahead.
+
+    The stream pipelines device work against host resolution, but the
+    GENERATOR itself (gz inflate + FASTQ parse + name/qual string
+    materialization, ~100-150 ms per 16K batch) otherwise runs serially
+    inside the stream's fill loop on the main thread.
+    """
+    import queue
+    import threading
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    DONE = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(DONE)
+        except BaseException as e:     # surface reader errors in-loop
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 _OCC_FIELDS = ("rid", "pos", "strand", "score", "nmm", "ngapo", "ngape")
 
 
@@ -353,7 +385,13 @@ def _stream_batches(path, batch, trim_qual=0):
                 lens = np.minimum(lens, tl)
                 quals = [q[:l] if q and q != "*" else q
                          for q, l in zip(quals, lens.tolist())]
-            yield s, names, ReadBatch(codes, lens), quals
+            # trim the [B, max_len=512] parser matrix to the batch's
+            # actual max read length: the packed-word count (and with it
+            # the whole device program width) follows the matrix width,
+            # so a 100bp batch in a 512-wide matrix ran a 4x-wider
+            # search (measured 638 -> ~260 ms/batch at B=16K)
+            Lmax = int(lens.max()) if len(lens) else 1
+            yield s, names, ReadBatch(codes[:, :max(Lmax, 1)], lens), quals
             s += len(names)
     else:
         names, reads, quals = _load_reads(path)
@@ -437,7 +475,8 @@ def cmd_align(argv):
                                                  getattr(a, "trim_qual", 0)):
                 if s + len(br) > done:
                     yield s, bn, br, bq
-        stream = iter(al.align_stream(todo(), beam_width=a.beam_width,
+        stream = iter(al.align_stream(_prefetch(todo()),
+                                      beam_width=a.beam_width,
                                       sopt=SamseOpt(n_multi=a.n_multi),
                                       emit="sam"))
         while True:
@@ -592,7 +631,8 @@ def cmd_align_pe(argv):
             if s + len(r1) > done:
                 yield s, n1, r1, q1, r2, q2
 
-    stream = iter(al.align_pe_stream(todo(), beam_width=a.beam_width,
+    stream = iter(al.align_pe_stream(_prefetch(todo()),
+                                     beam_width=a.beam_width,
                                      peopt=peopt, emit="sam"))
     while True:
         with met.timer("align"):   # wall per batch incl. overlap wait
