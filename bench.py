@@ -142,12 +142,18 @@ def _secondary_row(model: str, mbp: int, opt, allow_build: bool,
             ((i * BATCH, None, reads, None) for i in range(it)),
             emit="sam"):
         pass
-    ts = [_t.time()]
-    for _s, _lf in al.align_stream(
-            ((i * BATCH, None, reads, None) for i in range(it)),
-            emit="sam"):
-        ts.append(_t.time())
-    dt = float(np.diff(ts).mean())
+    # MEDIAN of REPS campaign means — same honesty convention as the
+    # headline (a single campaign lands anywhere in the ~1.5-2x tunnel
+    # band; the median is what the driver should reproduce)
+    means = []
+    for _rep in range(REPS):
+        ts = [_t.time()]
+        for _s, _lf in al.align_stream(
+                ((i * BATCH, None, reads, None) for i in range(it)),
+                emit="sam"):
+            ts.append(_t.time())
+        means.append(float(np.diff(ts).mean()))
+    dt = float(np.median(means))
     del al, di, text, reads
     gc.collect()
     return round(BATCH / dt, 1)
