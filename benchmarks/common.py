@@ -139,6 +139,26 @@ def timeit(fn, *args, iters=4):
     return (time.time() - t0) / iters, out
 
 
+def stream_campaigns(al, reads, batch, iters=6, reps=3):
+    """Median of ``reps`` align_stream campaign means, with ONE untimed
+    settle campaign first so steady-state shape classes (upshifted
+    profile, retry/beam pads) compile outside the timed loop — the
+    TPU_NOTES v4/v5 discipline the headline bench uses."""
+    def batches():
+        for it in range(iters):
+            yield it * batch, None, reads, None
+    for _s, _o in al.align_stream(batches(), emit="sam"):
+        pass
+    means = []
+    for _rep in range(reps):
+        ts = [time.time()]
+        for _s, (lines, flags) in al.align_stream(batches(), emit="sam"):
+            assert lines
+            ts.append(time.time())
+        means.append(float(np.diff(ts).mean()))
+    return float(np.median(means)), means
+
+
 def report(metric, value, unit, vs_baseline=None, **extra):
     rec = {"metric": metric, "value": round(float(value), 2), "unit": unit,
            "vs_baseline": round(float(vs_baseline), 3) if vs_baseline else None}

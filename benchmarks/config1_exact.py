@@ -79,7 +79,6 @@ def main():
 def e2e():
     """Production-path e2e companion metric (Aligner: both strands,
     resolution + SAM text; second JSON line)."""
-    import time
     setup_jax()
     from hsa_tpu.config import AlnOpt
     from hsa_tpu.pipeline import Aligner, ReadBatch
@@ -92,20 +91,13 @@ def e2e():
     reads = ReadBatch(fwd, np.full(B, L, np.int32))
     recs = al.align(reads)
     mapped = sum(1 for r in recs if not (r.flag & 4)) / len(recs)
-    ITERS = 4
-
-    def batches():
-        for it in range(ITERS):
-            yield it * B, None, reads, None
-
-    t0 = time.time()
-    for _s, (lines, flags) in al.align_stream(batches(), emit="sam"):
-        assert lines
-    dt = (time.time() - t0) / ITERS
+    from common import stream_campaigns
+    dt, means = stream_campaigns(al, reads, B)
     report("exact_reads_per_s_e2e", B / dt, "reads/s",
            genome_mbp=round(N / 1e6, 1), batch=B,
            scope="e2e 2-strand: pack+search+resolve+SAM",
-           mapped_frac=round(mapped, 4), batch_ms=round(dt * 1e3, 1))
+           mapped_frac=round(mapped, 4), batch_ms=round(dt * 1e3, 1),
+           campaign_means_ms=[round(m * 1e3, 1) for m in means])
 
 
 if __name__ == "__main__":
