@@ -76,22 +76,19 @@ def main():
         stages["device_nogap_ms"] = (time.time() - t0) / ITERS * 1e3
         stages = {k: round(v, 1) for k, v in stages.items()}
 
-    def batches():
-        for it in range(ITERS):
-            yield it * B, None, reads, None
-
-    t0 = time.time()
-    for _s, recs in al.align_stream(batches()):
-        sam = "\n".join(r.to_sam() for r in recs)
-        assert sam
-    dt = (time.time() - t0) / ITERS
+    # settle + median-of-3 campaigns on the production emit="sam" path
+    # (the previous records-mode single campaign both paid first-campaign
+    # compiles and re-stringified records the direct-SAM path avoids)
+    from common import stream_campaigns
+    dt, means = stream_campaigns(al, reads, B, iters=ITERS)
     report("gapped_reads_per_s", B / dt, "reads/s",
            genome_mbp=round(N / 1e6, 1), batch=B, engine="pigeon+gapped",
            scope="e2e 2-strand: pack+search+resolve+SAM",
            max_diff=int(opt.diff_budget(L)),
            mapped_frac=round(mapped, 4),
            fallback_frac=round(getattr(al, "last_fallback_frac", 0.0), 4),
-           batch_ms=round(dt * 1e3, 1), **stages)
+           batch_ms=round(dt * 1e3, 1),
+           campaign_means_ms=[round(m * 1e3, 1) for m in means], **stages)
 
 
 if __name__ == "__main__":
